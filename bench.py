@@ -1,0 +1,81 @@
+"""Benchmark: KP2Dtiny-N multitask inference FPS/chip at 320x240.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >= 2000 FPS/chip on TPU v5e, so
+vs_baseline = fps / 2000.
+
+Measurement method: N_ITER model invocations are chained inside ONE jitted
+lax.scan with a data dependency between iterations, and a single scalar is
+fetched at the end. This forces strictly sequential on-device execution and
+is immune to async-dispatch measurement artifacts (on tunneled PJRT
+backends, jax.block_until_ready can return before execution finishes,
+inflating naive loop timings by >100x).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.ops.postprocess import post_process
+
+    H, W = 240, 320
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = get_config("N", n_classes=28,
+                     dtype="bfloat16" if on_tpu else "float32")
+    model = build_model(cfg)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     (1, H, W, 3))
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def one(x):
+        out = model.apply(variables, x, False)
+        post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
+                            eval_mode=True)
+        # reduce every output to a scalar so nothing is dead-code-eliminated
+        return (post["score"].astype(jnp.float32).sum()
+                + post["feat"].astype(jnp.float32).sum()
+                + post["coord"].astype(jnp.float32).sum()
+                + post["vlad"].astype(jnp.float32).sum())
+
+    n_iter = 10 if on_tpu else 2
+    best_fps = 0.0
+    for B in ([64, 128] if on_tpu else [4]):
+        @jax.jit
+        def chained(x):
+            def step(carry, _):
+                s = one(x + carry * 1e-20)  # dependency -> sequential exec
+                return s, None
+            s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n_iter)
+            return s
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
+                              jnp.float32)
+        float(chained(x))  # compile + warm
+        t0 = time.perf_counter()
+        float(chained(x))  # forces full execution (scalar fetch)
+        dt = (time.perf_counter() - t0) / n_iter
+        fps = B / dt
+        best_fps = max(best_fps, fps)
+        print(f"# B={B}: {dt * 1e3:.2f} ms/iter -> {fps:.1f} FPS",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "kp2dtiny_N_multitask_fps_per_chip_320x240",
+        "value": round(best_fps, 1),
+        "unit": "FPS",
+        "vs_baseline": round(best_fps / 2000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Fused inference pipelines (the FPS/chip product).
+
+One jitted XLA program per (config, resolution): model forward + full
+post-processing (border mask, cell-grid decode, descriptor grid-sample +
+L2 norm, seg argmax) + optional fixed-K keypoint selection. This replaces
+the reference's eager forward + host-side filtering
+(evaluation/visual_odometry.py:74-122, frontend.py:79-126).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .configs import KP2DTinyConfig
+from .models.kp2dtiny import build_model
+from .ops.postprocess import post_process, top_k_keypoints
+
+Array = jnp.ndarray
+
+
+def make_infer_fn(model, cfg: KP2DTinyConfig, H: int, W: int,
+                  top_k: Optional[int] = None,
+                  conf_threshold: float = 0.0,
+                  with_seg: bool = True,
+                  with_vlad: bool = True):
+    """Returns infer(variables, images) -> dict, fully jittable.
+
+    images: (B, H, W, 3) in [-1, 1] (the reference normalizes (x-0.5)*2,
+    frontend.py:79).
+    """
+
+    @jax.jit
+    def infer(variables, images: Array) -> Dict[str, Array]:
+        out = model.apply(variables, images, False)
+        post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
+                            eval_mode=True)
+        result = {"score": post["score"], "coord": post["coord"],
+                  "feat": post["feat"]}
+        if with_seg:
+            result["seg"] = post["seg"]
+        if with_vlad:
+            result["vlad"] = post["vlad"]
+        if "depth" in post:
+            result["depth"] = post["depth"]
+        if top_k is not None:
+            kp, s, d, valid = top_k_keypoints(
+                post["score"], post["coord"], post["feat"], top_k,
+                conf_threshold)
+            result.update(keypoints=kp, keypoint_scores=s, descriptors=d,
+                          keypoint_valid=valid)
+        return result
+
+    return infer
+
+
+def normalize_image(img_u8: Array) -> Array:
+    """uint8 HWC image -> [-1, 1] float (frontend.py:79: (x - 0.5) * 2)."""
+    return (img_u8.astype(jnp.float32) / 255.0 - 0.5) * 2.0

@@ -1,0 +1,182 @@
+"""Basic NN blocks, NHWC / TPU-native.
+
+Behavioral contract from the reference (src/kp2dtiny/modules/base.py):
+- ConvBNAct == AnnotatedConvBnReLUModel (base.py:14-46): 3x3 conv (no bias)
+  + BatchNorm(momentum 0.1 torch-convention) + (Leaky)ReLU. Quant stubs are a
+  torch-PTQ artifact and have no TPU equivalent (AQT-style quantization lives
+  in nanovs_slam_tpu.quant instead).
+- TransposedConvUpsample == TransposedConvUpsampleModel (base.py:80-117):
+  ConvTranspose(c -> c//4, k3 s2 p1 output_padding 1) + BN + act; exact 2x
+  spatial upsample. Used by the MCU deployment path.
+- pixel_shuffle matches torch.nn.PixelShuffle channel ordering so that
+  imported torch checkpoints produce identical outputs.
+- l2_normalize == L2Norm (base.py:5-11), eps semantics of F.normalize.
+
+All modules take/return NHWC tensors (TPU-native layout; the reference is
+NCHW) and a `train` flag that switches BatchNorm stats and dropout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """L2 normalization matching torch.nn.functional.normalize semantics:
+    x / max(||x||_2, eps)."""
+    norm = jnp.linalg.norm(x, ord=2, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC pixel shuffle with torch.nn.PixelShuffle channel ordering.
+
+    in:  (B, H, W, C*r*r) where channel index = c*r*r + i*r + j
+    out: (B, H*r, W*r, C) with out[b, h*r+i, w*r+j, c] = in[b, h, w, c*r*r+i*r+j]
+    """
+    B, H, W, C = x.shape
+    assert C % (r * r) == 0, f"channels {C} not divisible by {r*r}"
+    c = C // (r * r)
+    x = x.reshape(B, H, W, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, i, W, j, c
+    return x.reshape(B, H * r, W * r, c)
+
+
+def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC inverse of pixel_shuffle (== torch.nn.PixelUnshuffle).
+
+    in:  (B, H*r, W*r, C)  ->  out: (B, H, W, C*r*r),
+    out[b, h, w, c*r*r + i*r + j] = in[b, h*r+i, w*r+j, c]
+    """
+    B, Hr, Wr, C = x.shape
+    assert Hr % r == 0 and Wr % r == 0
+    H, W = Hr // r, Wr // r
+    x = x.reshape(B, H, r, W, r, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H, W, c, i, j
+    return x.reshape(B, H, W, C * r * r)
+
+
+def act_fn(x: jnp.ndarray, leaky: bool) -> jnp.ndarray:
+    """(Leaky)ReLU with torch defaults (negative_slope=0.01)."""
+    return nn.leaky_relu(x, negative_slope=0.01) if leaky else nn.relu(x)
+
+
+class ConvBNAct(nn.Module):
+    """Conv(3x3, no bias) + BatchNorm + (Leaky)ReLU.
+
+    Reference: AnnotatedConvBnReLUModel (src/kp2dtiny/modules/base.py:14-46).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    bn_momentum: float = 0.1  # torch convention; flax momentum = 1 - this
+    leaky_relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME" if self.kernel_size == 3 and self.stride == 1 else
+            [(self.kernel_size // 2, self.kernel_size // 2)] * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return act_fn(x, self.leaky_relu)
+
+
+class TransposedConvUpsample(nn.Module):
+    """ConvTranspose(c -> c//4, k3 s2) + BN + act: exact 2x upsample.
+
+    Reference: TransposedConvUpsampleModel (base.py:80-117) — torch
+    ConvTranspose2d(kernel=3, stride=2, padding=1, output_padding=1), which
+    maps (H, W) -> (2H, 2W). Equivalent lax.conv_transpose padding for
+    k=3, s=2, p=1, op=1 is ((1, 2), (1, 2)) on the dilated input.
+    """
+
+    in_features: int
+    bn_momentum: float = 0.1
+    leaky_relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out_feat = self.in_features // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (3, 3, x.shape[-1], out_feat),
+            jnp.float32,
+        )
+        # torch output size: (H-1)*s - 2p + k + op = 2H with k=3,s=2,p=1,op=1.
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=(2, 2),
+            padding=((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(y)
+        return act_fn(y, self.leaky_relu)
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout (torch Dropout2d): zeroes whole channels.
+
+    In NHWC this broadcasts the mask over the spatial dims (1, 2).
+    """
+
+    rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2))(
+            x, deterministic=not train)
+
+
+class Upsampler(nn.Module):
+    """Upscale-by-2 block selected by config: pixelshuffle (c -> c//4 via
+    rearrange) or convtranspose (MCU path). Both take C channels in and
+    produce C//4 channels at 2x resolution.
+
+    Reference: upscale_method switch (heads.py:53-58, segmentation.py:113-120).
+    """
+
+    in_features: int
+    method: str = "pixelshuffle"
+    bn_momentum: float = 0.1
+    leaky_relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.method == "pixelshuffle":
+            return pixel_shuffle(x, 2)
+        if self.method == "convtranspose":
+            return TransposedConvUpsample(
+                self.in_features, self.bn_momentum, self.leaky_relu,
+                self.dtype, name="tconv")(x, train)
+        raise NotImplementedError(f"upscale method {self.method}")

@@ -1,0 +1,164 @@
+"""Jitted multitask train step with data-parallel sharding.
+
+TPU-native replacement for the reference's eager loop
+(train_multitask.py:510-525: autocast forward, GradScaler backward,
+clip 1.0, optimizer step): here the two forward passes, every loss, the
+gradient, clipping and the optimizer update compile into ONE XLA program,
+with donated buffers and batch sharded over the mesh "data" axis; XLA
+inserts the gradient all-reduce over ICI from the sharding annotations.
+bf16 compute replaces AMP+GradScaler (no scaler needed: master params are
+f32 and bf16 has the same exponent range as f32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..configs import KP2DTinyConfig
+from ..models.inlier_net import InlierNet
+from ..ops.postprocess import post_process
+from .multitask_loss import LossWeights, multitask_loss
+
+Array = jnp.ndarray
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    io_params: Any
+    io_batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(
+            grads, self.opt_state,
+            {"model": self.params, "io": self.io_params})
+        new = optax.apply_updates({"model": self.params,
+                                   "io": self.io_params}, updates)
+        return self.replace(step=self.step + 1, params=new["model"],
+                            io_params=new["io"], opt_state=new_opt)
+
+
+def create_train_state(model, cfg: KP2DTinyConfig, rng: jax.Array,
+                       input_shape: Tuple[int, int, int, int],
+                       tx: optax.GradientTransformation,
+                       with_io: bool = True,
+                       io_top_k: int = 300) -> Tuple[TrainState, Optional[InlierNet]]:
+    p_rng, d_rng, io_rng = jax.random.split(rng, 3)
+    variables = model.init({"params": p_rng, "dropout": d_rng},
+                           jnp.zeros(input_shape, jnp.float32), True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+
+    io_net = InlierNet(blocks=4) if with_io else None
+    if with_io:
+        io_vars = io_net.init({"params": io_rng},
+                              jnp.zeros((1, io_top_k, 5), jnp.float32), True)
+        io_params = io_vars["params"]
+        io_batch_stats = io_vars.get("batch_stats", FrozenDict())
+    else:
+        io_params, io_batch_stats = FrozenDict(), FrozenDict()
+
+    opt_state = tx.init({"model": params, "io": io_params})
+    state = TrainState(step=jnp.int32(0), params=params,
+                       batch_stats=batch_stats, io_params=io_params,
+                       io_batch_stats=io_batch_stats, opt_state=opt_state,
+                       tx=tx)
+    return state, io_net
+
+
+def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
+                    io_net: Optional[InlierNet] = None,
+                    train_flags: Optional[Dict[str, bool]] = None,
+                    io_top_k: int = 300,
+                    donate: bool = True):
+    """Returns train_step(state, batch, weights, rng) -> (state, metrics).
+
+    batch: image/image_aug (B,H,W,3) in [-1,1], seg/seg_aug (B,hs,ws) int32,
+    homography (B,3,3), optional depth/depth_aug (B,hs,ws,1).
+    """
+
+    def loss_fn(trainable, batch_stats, io_batch_stats, batch, rng,
+                weights: LossWeights):
+        params, io_params = trainable["model"], trainable["io"]
+        rng_aug, rng_clean, rng_io = jax.random.split(rng, 3)
+
+        # two forward passes, aug first, threading BN stat updates in the
+        # reference's order (KeypointNetwithIOLoss.py:418-421)
+        out_aug, mut1 = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image_aug"], True, rngs={"dropout": rng_aug},
+            mutable=["batch_stats"])
+        out, mut2 = model.apply(
+            {"params": params, "batch_stats": mut1["batch_stats"]},
+            batch["image"], True, rngs={"dropout": rng_clean},
+            mutable=["batch_stats"])
+        new_stats = mut2["batch_stats"]
+
+        out_aug = post_process(out_aug, H, W, cfg.cell, cfg.cross_ratio,
+                               eval_mode=False)
+        out = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
+                           eval_mode=False)
+
+        io_apply = None
+        new_io_stats = io_batch_stats
+        io_state = {}
+        if io_net is not None:
+            def io_apply(io_p, point_pair):
+                pred, mut = io_net.apply(
+                    {"params": io_p, "batch_stats": io_batch_stats},
+                    point_pair, True, mutable=["batch_stats"])
+                io_state["new_stats"] = mut["batch_stats"]
+                return pred
+
+        n_cells = (H // cfg.cell) * (W // cfg.cell)
+        total, loss_dict = multitask_loss(
+            out, out_aug, batch, H, W, weights,
+            io_net_apply=io_apply, io_params=io_params,
+            train_flags=train_flags, io_top_k=min(io_top_k, n_cells))
+        if io_net is not None and "new_stats" in io_state:
+            new_io_stats = io_state["new_stats"]
+        return total, (new_stats, new_io_stats, loss_dict)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, weights: LossWeights,
+                   rng: jax.Array):
+        trainable = {"model": state.params, "io": state.io_params}
+        (loss, (new_stats, new_io_stats, loss_dict)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, state.batch_stats, state.io_batch_stats,
+                batch, rng, weights)
+        new_state = state.replace(batch_stats=new_stats,
+                                  io_batch_stats=new_io_stats)
+        new_state = new_state.apply_gradients(grads)
+        metrics = dict(loss_dict)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_optimizer(name: str = "adam", lr=3e-4, weight_decay: float = 1e-5,
+                   grad_clip: float = 1.0,
+                   schedule=None) -> optax.GradientTransformation:
+    """Optimizer factory matching train_multitask.py:371-396 options
+    (adam | adamw | sgd) with global-norm clipping 1.0 (:516)."""
+    lr_schedule = schedule if schedule is not None else lr
+    if name == "adam":
+        opt = optax.adam(lr_schedule)
+    elif name == "adamw":
+        opt = optax.adamw(lr_schedule, weight_decay=weight_decay)
+    elif name == "sgd":
+        opt = optax.sgd(lr_schedule, momentum=0.9)
+    else:
+        raise ValueError(name)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), opt)

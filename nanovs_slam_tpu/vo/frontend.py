@@ -1,0 +1,89 @@
+"""VO feature-extraction frontend.
+
+Behavioral contract (reference: src/visual_odometry/frontend.py:11-129):
+normalize image (x - 0.5) * 2, forward + postprocess, flatten cells,
+confidence mask score > nn_thresh (0.7), optional SEMANTIC FILTER (drop
+keypoints whose sampled segmentation class is in classes_to_filter, with
+seg nearest-sampled at keypoint coords), top-k selection.
+
+TPU-first: the whole pipeline — model, postprocess, semantic filter and
+top-K — is ONE jitted fixed-shape XLA program; only the final (K,·) arrays
+cross to host. Invalid slots (below threshold / filtered class) carry
+score <= 0 and a False validity flag instead of being dropped, so no
+recompilation ever happens. The host tail trims them for the cv2-based
+pose estimation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import KP2DTinyConfig
+from ..models.kp2dtiny import build_model
+from ..ops.grid_sample import grid_sample_nearest
+from ..ops.postprocess import post_process, top_k_keypoints
+
+
+class KP2DTinyFrontend:
+    def __init__(self, model, cfg: KP2DTinyConfig, variables,
+                 new_size: Tuple[int, int], nn_thresh: float = 0.7,
+                 top_k: int = 4000, semantic_filter: bool = False,
+                 classes_to_filter: Sequence[int] = (21,)):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.H, self.W = new_size
+        self.nn_thresh = nn_thresh
+        self.top_k = top_k
+        self.semantic_filter = semantic_filter
+        self.classes_to_filter = tuple(classes_to_filter)
+        self._infer = self._build()
+
+    def _build(self):
+        H, W, cfg = self.H, self.W, self.cfg
+
+        @jax.jit
+        def infer(variables, images):
+            out = self.model.apply(variables, images, False)
+            post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
+                                eval_mode=True)
+            score = post["score"].astype(jnp.float32)
+            coord = post["coord"].astype(jnp.float32)
+            feat = post["feat"].astype(jnp.float32)
+            seg_map = post["seg"]  # (B, Hs, Ws, 1) argmax classes
+
+            # sample seg class at keypoint coords (nearest,
+            # kp2dtiny.py:633-637 with sample_segmentation=True)
+            gx = coord[..., 0] / ((W - 1) / 2.0) - 1.0
+            gy = coord[..., 1] / ((H - 1) / 2.0) - 1.0
+            seg_at_kp = grid_sample_nearest(
+                seg_map.astype(jnp.float32),
+                jnp.stack([gx, gy], axis=-1))[..., 0]
+
+            if self.semantic_filter and self.classes_to_filter:
+                bad = jnp.zeros(seg_at_kp.shape, bool)
+                for c in self.classes_to_filter:
+                    bad = bad | (seg_at_kp == c)
+                score = jnp.where(bad[..., None], 0.0, score)
+
+            kp, s, d, valid = top_k_keypoints(score, coord, feat, self.top_k,
+                                              self.nn_thresh)
+            seg_sel = None
+            B, Hc, Wc, _ = score.shape
+            return kp, s, d, valid, seg_at_kp.reshape(B, Hc * Wc), post
+
+        return infer
+
+    def run(self, img01: np.ndarray):
+        """img01: (H, W, 3) float in [0, 1] at self.new_size.
+        Returns (pts (N,2), feat (N,C), seg (N,)) trimmed to valid slots."""
+        x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
+        kp, s, d, valid, seg_flat, post = self._infer(self.variables, x)
+        kp, s, d = np.asarray(kp[0]), np.asarray(s[0]), np.asarray(d[0])
+        valid = np.asarray(valid[0])
+        out = {k: np.asarray(v) for k, v in post.items()}
+        return kp[valid], d[valid], out

@@ -1,0 +1,81 @@
+"""Feature matching for VO.
+
+Behavioral contract (reference: src/visual_odometry/feature_matcher.py):
+- knnMatch k=2 (NORM_L2) + Lowe ratio test 0.7 (kRatioTest)
+- one-to-one train-index dedup keeping the best distance
+  (goodMatchesOneToOne, :179-209)
+
+TPU-first: the k=2 NN search is a single distance-matrix matmul + top-2
+on device (jax) or numpy; the ratio-test/dedup tail is cheap host logic.
+The results match cv2.BFMatcher.knnMatch ordering semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+K_RATIO_TEST = 0.7
+
+
+def knn2(desc1: np.ndarray, desc2: np.ndarray
+         ) -> Tuple[np.ndarray, np.ndarray]:
+    """For each row of desc1, the 2 nearest rows of desc2 by L2.
+    Returns (indices (N, 2), distances (N, 2))."""
+    aa = np.sum(desc1 * desc1, 1)[:, None]
+    bb = np.sum(desc2 * desc2, 1)[None, :]
+    d2 = np.maximum(aa + bb - 2.0 * desc1 @ desc2.T, 0.0)
+    idx = np.argpartition(d2, 1, axis=1)[:, :2]
+    d_pair = np.take_along_axis(d2, idx, axis=1)
+    order = np.argsort(d_pair, axis=1)
+    idx = np.take_along_axis(idx, order, axis=1)
+    d_pair = np.take_along_axis(d_pair, order, axis=1)
+    return idx, np.sqrt(d_pair)
+
+
+def ratio_test_match_one_to_one(desc_query: np.ndarray,
+                                desc_train: np.ndarray,
+                                ratio_test: float = K_RATIO_TEST):
+    """Returns (idx_query, idx_train, distances), one-to-one in train index
+    keeping the smallest distance (feature_matcher.py:179-209)."""
+    if desc_query.shape[0] < 2 or desc_train.shape[0] < 2:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float32))
+    idx, dist = knn2(desc_query, desc_train)
+    keep = dist[:, 0] <= ratio_test * dist[:, 1]
+
+    idx1, idx2, score = [], [], []
+    best_for_train = {}
+    index_match = {}
+    for q in np.nonzero(keep)[0]:
+        t = int(idx[q, 0])
+        d = float(dist[q, 0])
+        if t not in best_for_train:
+            best_for_train[t] = d
+            idx1.append(int(q))
+            idx2.append(t)
+            index_match[t] = len(idx2) - 1
+            score.append(d)
+        elif d < best_for_train[t]:
+            best_for_train[t] = d
+            pos = index_match[t]
+            idx1[pos] = int(q)
+            score[pos] = d
+    return (np.asarray(idx1, np.int64), np.asarray(idx2, np.int64),
+            np.asarray(score, np.float32))
+
+
+def match_keypoints(kps_prev, feat_prev, kps_cur, feat_cur,
+                    top_k_matches: int = 1000,
+                    ratio_test: float = K_RATIO_TEST):
+    """(evaluation/visual_odometry.py:125-136): match prev->cur, keep the
+    top_k best-distance matches. Returns (kps0, kps1)."""
+    idxs0, idxs1, score = ratio_test_match_one_to_one(feat_prev, feat_cur,
+                                                      ratio_test)
+    kps0 = np.asarray(kps_prev)[idxs0, :]
+    kps1 = np.asarray(kps_cur)[idxs1, :]
+    if len(score) > top_k_matches > 0:
+        top = np.argpartition(score, top_k_matches)[:top_k_matches]
+        kps0, kps1 = kps0[top], kps1[top]
+    return kps0, kps1

@@ -1,0 +1,190 @@
+"""Stateful frame-to-frame visual odometry.
+
+Behavioral contract (reference: src/visual_odometry/visual_odometry.py:75-472
+and src/evaluation/visual_odometry.py:200-332):
+- per frame: resize -> extract keypoints/descriptors -> match against the
+  previous frame (BF ratio-test or LightGlue) -> essential-matrix pose
+  (USAC_MSAC) -> integrate cur_t += scale * cur_R @ t; cur_R = cur_R @ R.
+- pose-estimation failure falls back to identity
+  (evaluation/visual_odometry.py:256-265).
+- per-frame relative errors vs GT with GT absolute scale.
+
+TPU-first: extraction (and LightGlue matching when enabled) runs on device
+with fixed shapes; only the RANSAC tail (cv2 five-point essential matrix)
+is host-side — matching the reference's own use of OpenCV's C++ solvers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .camera import PinholeCamera
+from .groundtruth import KittiVideoGroundTruth
+from .matcher import match_keypoints
+from .pose import (calculate_error_stats, calculate_relative_error,
+                   estimate_pose)
+
+
+class VisualOdometryStats:
+    def __init__(self):
+        self.n_matches = []
+        self.n_inliers = []
+        self.network_inference_timing = []
+        self.pose_estimation_timing = []
+
+    def as_dict(self) -> Dict:
+        def stats(v):
+            a = np.asarray(v, np.float64)
+            return calculate_error_stats(a) if len(a) else {}
+        return {
+            "n_matches": stats(self.n_matches),
+            "n_inliers": stats(self.n_inliers),
+            "network_inference_timing": stats(self.network_inference_timing),
+            "pose_estimation_timing": stats(self.pose_estimation_timing),
+        }
+
+
+class VisualOdometry:
+    def __init__(self, frontend, cam: PinholeCamera,
+                 matcher: str = "bf", lightglue=None,
+                 top_k_matches: int = 1000, ratio_test: float = 0.7):
+        self.frontend = frontend
+        self.cam = cam
+        self.matcher = matcher
+        self.lightglue = lightglue  # (model, params, size) tuple or None
+        self.top_k_matches = top_k_matches
+        self.ratio_test = ratio_test
+
+        self.cur_R = np.eye(3)
+        self.cur_t = np.zeros((3, 1))
+        self.kps_prev = None
+        self.feat_prev = None
+        self.stats = VisualOdometryStats()
+        self.estimation_fails = 0
+        self.trajectory = []
+
+    def init(self, img01: np.ndarray):
+        self.kps_prev, self.feat_prev, _ = self.frontend.run(img01)
+        self.trajectory.append(self.cur_t.copy())
+
+    def _match(self, kps, feat):
+        if self.matcher == "lightglue" and self.lightglue is not None:
+            return self._match_lightglue(kps, feat)
+        return match_keypoints(self.kps_prev, self.feat_prev, kps, feat,
+                               self.top_k_matches, self.ratio_test)
+
+    def _match_lightglue(self, kps, feat):
+        import jax.numpy as jnp
+
+        from ..matching.lightglue import normalize_keypoints
+
+        model, params, size, max_n = self.lightglue
+        def pad(a, n, v=0.0):
+            out = np.full((n,) + a.shape[1:], v, a.dtype)
+            out[:len(a)] = a
+            return out
+
+        n0, n1 = len(self.kps_prev), len(kps)
+        data = {
+            "keypoints0": normalize_keypoints(
+                jnp.asarray(pad(self.kps_prev, max_n)[None]), size),
+            "keypoints1": normalize_keypoints(
+                jnp.asarray(pad(kps, max_n)[None]), size),
+            "descriptors0": jnp.asarray(pad(self.feat_prev, max_n)[None]),
+            "descriptors1": jnp.asarray(pad(feat, max_n)[None]),
+            "mask0": jnp.asarray((np.arange(max_n) < n0)[None]),
+            "mask1": jnp.asarray((np.arange(max_n) < n1)[None]),
+        }
+        pred = model.apply({"params": params}, data)
+        m0 = np.asarray(pred["matches0"])[0]
+        valid = m0 > -1
+        idx0 = np.nonzero(valid)[0]
+        idx1 = m0[valid]
+        return self.kps_prev[idx0[idx0 < n0]], kps[idx1[idx0 < n0]]
+
+    def process_image(self, img01: np.ndarray, absolute_scale: float = 1.0):
+        """Returns (R, t, n_matches); updates the integrated pose."""
+        kps, feat, _ = self.frontend.run(img01)
+        try:
+            m_kps0, m_kps1 = self._match(kps, feat)
+            R, t, mask_match, _ = estimate_pose(m_kps0, m_kps1, self.cam)
+            n_inliers = int(np.count_nonzero(mask_match))
+        except Exception:
+            R, t = np.eye(3), np.zeros((3, 1))
+            m_kps0 = np.zeros((0, 2))
+            n_inliers = 0
+            self.estimation_fails += 1
+
+        self.stats.n_matches.append(len(m_kps0))
+        self.stats.n_inliers.append(n_inliers)
+        # pose integration (visual_odometry.py:336-337)
+        self.cur_t = self.cur_t + absolute_scale * self.cur_R.dot(t)
+        self.cur_R = self.cur_R.dot(R)
+        self.trajectory.append(self.cur_t.copy())
+
+        self.kps_prev, self.feat_prev = kps, feat
+        return R, t, len(m_kps0)
+
+
+def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
+                             video_name: str, new_size=None,
+                             max_frames: Optional[int] = None,
+                             verbose: bool = False) -> Dict:
+    """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
+    per-frame relative pose errors vs GT."""
+    import cv2
+
+    from .camera import kitti_params
+
+    gt = KittiVideoGroundTruth(kitti_path, gt_name)
+    cap = cv2.VideoCapture(f"{kitti_path}/{video_name}")
+    ret, frame = cap.read()
+    if not ret:
+        raise RuntimeError(f"cannot read {kitti_path}/{video_name}")
+    size = frame.shape
+    fx, fy, cx, cy = kitti_params()
+    cam = PinholeCamera(size[1], size[0], fx, fy, cx, cy)
+
+    def prep(f):
+        rgb = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        if new_size is not None:
+            rgb = cv2.resize(rgb, (new_size[1], new_size[0]))
+        return rgb.astype(np.float32) / 255.0
+
+    sx = size[1] / (new_size[1] if new_size else size[1])
+    sy = size[0] / (new_size[0] if new_size else size[0])
+
+    class ScaledFrontend:
+        def run(self, img01):
+            pts, feat, out = frontend.run(img01)
+            pts = pts * np.array([sx, sy])
+            return pts, feat, out
+
+    vo = VisualOdometry(ScaledFrontend(), cam)
+    vo.init(prep(frame))
+
+    i_frame = 1
+    t_errs, r_errs = [], []
+    while True:
+        ret, frame = cap.read()
+        if not ret or (max_frames is not None and i_frame >= max_frames):
+            break
+        R, t, _ = vo.process_image(prep(frame))
+        t_err, r_err = calculate_relative_error(gt, i_frame, R, t)
+        t_errs.append(t_err)
+        r_errs.append(r_err)
+        i_frame += 1
+
+    t_errs = np.array(t_errs[1:])
+    r_errs = np.array(r_errs[1:])
+    total = t_errs + r_errs
+    result = calculate_error_stats(total)
+    if verbose:
+        return {"translation": calculate_error_stats(t_errs),
+                "rotation": calculate_error_stats(r_errs),
+                "total": result,
+                "estimation_fails": vo.estimation_fails,
+                "stats": vo.stats.as_dict()}
+    return result

@@ -1,0 +1,130 @@
+"""VO pipeline tests with synthetic geometry."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nanovs_slam_tpu.vo.camera import PinholeCamera, kitti_params
+from nanovs_slam_tpu.vo.matcher import (match_keypoints,
+                                        ratio_test_match_one_to_one)
+from nanovs_slam_tpu.vo.pose import (calculate_error_stats,
+                                     calculate_pose_error, estimate_pose)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _synthetic_views(n=200, seed=0):
+    """Project random 3D points into two cameras with known relative pose."""
+    rs = np.random.RandomState(seed)
+    fx, fy, cx, cy = kitti_params()
+    cam = PinholeCamera(1241, 376, fx, fy, cx, cy)
+    pts3d = np.stack([rs.uniform(-10, 10, n), rs.uniform(-3, 3, n),
+                      rs.uniform(8, 40, n)], axis=1)
+    # relative pose: small rotation around y + forward translation
+    ang = 0.03
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([0.1, 0.0, 1.0])
+    uv1, z1 = cam.project(pts3d)
+    pts3d_2 = (R.T @ (pts3d - t).T).T  # world -> cam2
+    uv2, z2 = cam.project(pts3d_2)
+    ok = (z1 > 0) & (z2 > 0)
+    return cam, uv1[ok], uv2[ok], R, t
+
+
+def test_estimate_pose_recovers_motion():
+    cam, uv1, uv2, R_gt, t_gt = _synthetic_views()
+    R, t, mask_match, _ = estimate_pose(uv1, uv2, cam)
+    # recoverPose returns the motion up to translation scale
+    t_est = t[:, 0] / np.linalg.norm(t)
+    t_dir = t_gt / np.linalg.norm(t_gt)
+    r_err = calculate_pose_error(R_gt, t_dir, R, t_est)[1]
+    assert r_err < 0.01, r_err
+    assert abs(np.dot(t_est, t_dir)) > 0.99
+
+
+def test_ratio_test_matcher_identity():
+    rs = np.random.RandomState(0)
+    desc = rs.randn(50, 32).astype(np.float32)
+    i1, i2, score = ratio_test_match_one_to_one(desc, desc)
+    np.testing.assert_array_equal(i1, i2)
+    assert len(i1) == 50
+    assert np.all(score < 1e-2)  # float32 Gram-identity noise
+
+
+def test_matcher_matches_cv2_knn():
+    rs = np.random.RandomState(1)
+    d1 = rs.randn(40, 16).astype(np.float32)
+    d2 = rs.randn(60, 16).astype(np.float32)
+    i1, i2, _ = ratio_test_match_one_to_one(d1, d2)
+
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    matches = bf.knnMatch(d1, d2, k=2)
+    ref_pairs = set()
+    best = {}
+    for m, n in matches:
+        if m.distance > 0.7 * n.distance:
+            continue
+        if m.trainIdx not in best or m.distance < best[m.trainIdx][1]:
+            best[m.trainIdx] = (m.queryIdx, m.distance)
+    ref_pairs = {(q, t) for t, (q, _) in best.items()}
+    assert set(zip(i1.tolist(), i2.tolist())) == ref_pairs
+
+
+def test_match_keypoints_top_k():
+    rs = np.random.RandomState(2)
+    desc = rs.randn(100, 16).astype(np.float32)
+    kps = rs.rand(100, 2) * 100
+    k0, k1 = match_keypoints(kps, desc, kps, desc, top_k_matches=20)
+    assert k0.shape == (20, 2)
+    np.testing.assert_allclose(k0, k1)
+
+
+def test_error_stats():
+    e = np.array([1.0, 2.0, 3.0])
+    s = calculate_error_stats(e)
+    assert s["mean"] == 2.0 and s["sum"] == 6.0 and s["max"] == 3.0
+
+
+def test_frontend_fixed_shapes():
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+
+    H, W = 64, 96
+    cfg = get_config("N", n_classes=7)
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    fe = KP2DTinyFrontend(model, cfg, {"params": params, "batch_stats": bs},
+                          (H, W), nn_thresh=0.0, top_k=100)
+    img = np.random.RandomState(0).rand(H, W, 3).astype(np.float32)
+    pts, feat, out = fe.run(img)
+    assert pts.shape[1] == 2 and feat.shape[1] == cfg.nfeatures
+    assert len(pts) <= 100
+    assert np.all(pts[:, 0] <= W - 1) and np.all(pts[:, 1] <= H - 1)
+    # descriptors are L2-normalized by postprocess
+    np.testing.assert_allclose(np.linalg.norm(feat, axis=1), 1.0, atol=1e-4)
+
+
+def test_frontend_semantic_filter():
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+
+    H, W = 64, 96
+    cfg = get_config("N", n_classes=7)
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    var = {"params": params, "batch_stats": bs}
+    img = np.random.RandomState(0).rand(H, W, 3).astype(np.float32)
+
+    fe_all = KP2DTinyFrontend(model, cfg, var, (H, W), nn_thresh=0.0,
+                              top_k=50)
+    _, _, out = fe_all.run(img)
+    # filter every class -> no keypoints survive
+    fe_f = KP2DTinyFrontend(model, cfg, var, (H, W), nn_thresh=0.0,
+                            top_k=50, semantic_filter=True,
+                            classes_to_filter=list(range(7)))
+    pts_f, _, _ = fe_f.run(img)
+    assert len(pts_f) == 0
