@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Multitask evaluation driver.
+
+CLI contract mirrors the reference eval_multitask.py (task flags
+--keypoints --visloc --segmentation --depth --vo, eval at 240x320,
+top-k {300, 1000}, VO at (128,256)/(128,512)/(256,1024), results JSON).
+Reference surface: eval_multitask.py:35-94 (argparse), :124-344 (driver).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate KP2DTiny multitask")
+    p.add_argument("--model_path", default=None, help="checkpoint dir")
+    p.add_argument("--config", default="S")
+    p.add_argument("--model_type", default="KP2DtinyV2")
+    p.add_argument("--n_classes", type=int, default=28)
+    p.add_argument("--dataset_config", default="datasets.json")
+    p.add_argument("--keypoints", action="store_true")
+    p.add_argument("--visloc", action="store_true")
+    p.add_argument("--segmentation", action="store_true")
+    p.add_argument("--depth", action="store_true")
+    p.add_argument("--vo", action="store_true")
+    p.add_argument("--top_k", type=int, nargs="+", default=[300, 1000])
+    p.add_argument("--im_h", type=int, default=240)
+    p.add_argument("--im_w", type=int, default=320)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas postprocess kernel")
+    p.add_argument("--out", default="eval_results.json")
+    p.add_argument("--max_items", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.data.datasets import load_datasets_json
+    from nanovs_slam_tpu.inference import make_infer_fn
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.utils.checkpoint import load_checkpoint
+    from nanovs_slam_tpu.utils.logging import print_table
+
+    H, W = args.im_h, args.im_w
+    v3 = args.model_type in ("KP2DtinyV3", "DF")
+    cfg = get_config(args.config, v3=v3, n_classes=args.n_classes,
+                     dtype="bfloat16" if args.bf16 else "float32")
+    model = build_model(cfg)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     (1, H, W, 3))
+    if args.model_path:
+        if os.path.isdir(args.model_path):
+            tree, _ = load_checkpoint(args.model_path)
+            params, batch_stats = tree["params"], tree["batch_stats"]
+        else:  # torch .ckpt import
+            from nanovs_slam_tpu.utils.torch_import import \
+                load_torch_checkpoint
+
+            params, batch_stats, _ = load_torch_checkpoint(args.model_path)
+    variables = {"params": params, "batch_stats": batch_stats}
+    paths = load_datasets_json(args.dataset_config)
+
+    results = {}
+
+    if args.keypoints:
+        from nanovs_slam_tpu.data.hpatches import HPatchesDataset
+        from nanovs_slam_tpu.evaluation.keypoints import evaluate_keypoint_net
+
+        root = paths.get("hpatches_data_path")
+        if root and os.path.isdir(root):
+            infer = make_infer_fn(model, cfg, H, W,
+                                  use_pallas=args.use_pallas)
+
+            def infer_np(images):
+                out = infer(variables, images)
+                return {k: np.asarray(v) for k, v in out.items()}
+
+            ds = HPatchesDataset(root, (W, H))
+            items = list(ds)[: args.max_items] if args.max_items else ds
+            for k in args.top_k:
+                try:
+                    r = evaluate_keypoint_net(items, infer_np,
+                                              output_shape=(W, H), top_k=k)
+                    results[f"keypoints_top{k}"] = r
+                    print_table({kk: vv for kk, vv in r.items()
+                                 if not isinstance(vv, dict)},
+                                f"keypoints top-{k}")
+                except Exception as e:
+                    results[f"keypoints_top{k}"] = {"error": str(e)}
+        else:
+            results["keypoints"] = {"error": "hpatches_data_path missing"}
+
+    if args.segmentation:
+        from nanovs_slam_tpu.data.datasets import (COCOStuffDataset,
+                                                   CityscapesDataset)
+        from nanovs_slam_tpu.evaluation.segmentation import \
+            evaluate_segmentation
+
+        ds = None
+        if args.n_classes == 19 and paths.get("cityscapes_data_path"):
+            ds = CityscapesDataset(paths["cityscapes_data_path"], (H, W),
+                                   "val")
+        elif paths.get("coco_data_path"):
+            ds = COCOStuffDataset(paths["coco_data_path"], (H, W), "val",
+                                  args.n_classes)
+        if ds is not None and len(ds) > 0:
+            infer = make_infer_fn(model, cfg, H, W)
+
+            def seg_iter():
+                n = min(len(ds), args.max_items or len(ds))
+                for i in range(n):
+                    item = ds[i]
+                    import cv2
+
+                    hs = 2 * (H // cfg.cell)
+                    ws = 2 * (W // cfg.cell)
+                    seg = cv2.resize(item["seg"], (ws, hs),
+                                     interpolation=cv2.INTER_NEAREST)
+                    yield {"image": item["image"][None] * 2 - 1,
+                           "seg": seg[None]}
+
+            def infer_np(images):
+                import jax.numpy as jnp
+
+                out = infer(variables, jnp.asarray(images, jnp.float32))
+                return {k: np.asarray(v) for k, v in out.items()}
+
+            try:
+                r = evaluate_segmentation(seg_iter(), infer_np,
+                                          args.n_classes)
+                results["segmentation"] = r
+                print_table(r, "segmentation")
+            except Exception as e:
+                results["segmentation"] = {"error": str(e)}
+        else:
+            results["segmentation"] = {"error": "dataset missing"}
+
+    if args.visloc:
+        from nanovs_slam_tpu.data.pittsburgh import WholeDataset
+        from nanovs_slam_tpu.evaluation.global_descriptor import \
+            evaluate_global_descriptor
+
+        root = paths.get("pittsburgh_data_path")
+        struct = os.path.join(root or "", "datasets", "pitts30k_val.mat")
+        if root and os.path.exists(struct):
+            try:
+                import jax.numpy as jnp
+
+                ds = WholeDataset(struct, root, (H, W))
+                infer = make_infer_fn(model, cfg, H, W)
+                feats = []
+                for i in range(len(ds)):
+                    out = infer(variables, jnp.asarray(ds[i][None]))
+                    feats.append(np.asarray(out["vlad"])[0])
+                feats = np.stack(feats)
+                db = feats[: ds.dbStruct.numDb]
+                q = feats[ds.dbStruct.numDb:]
+                r = evaluate_global_descriptor(db, q, ds.get_positives())
+                results["visloc"] = r
+                print(r)
+            except Exception as e:
+                results["visloc"] = {"error": str(e)}
+        else:
+            results["visloc"] = {"error": "pittsburgh_data_path missing"}
+
+    if args.vo:
+        from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+        from nanovs_slam_tpu.vo.visual_odometry import \
+            evaluate_visual_odometry
+
+        kitti = paths.get("kitti_data_path")
+        if kitti and os.path.isdir(kitti):
+            for vo_h, vo_w in [(128, 256), (128, 512), (256, 1024)]:
+                try:
+                    fe = KP2DTinyFrontend(model, cfg, variables,
+                                          (vo_h, vo_w), top_k=4000)
+                    r = evaluate_visual_odometry(
+                        fe, kitti, "06.txt", "06.mp4",
+                        new_size=(vo_h, vo_w), max_frames=args.max_items,
+                        verbose=True)
+                    results[f"vo_{vo_h}x{vo_w}"] = r
+                    print(f"VO {vo_h}x{vo_w}: {r['total']}")
+                except Exception as e:
+                    results[f"vo_{vo_h}x{vo_w}"] = {"error": str(e)}
+        else:
+            results["vo"] = {"error": "kitti_data_path missing"}
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print(f"results written to {args.out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

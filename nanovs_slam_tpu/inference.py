@@ -26,18 +26,34 @@ def make_infer_fn(model, cfg: KP2DTinyConfig, H: int, W: int,
                   top_k: Optional[int] = None,
                   conf_threshold: float = 0.0,
                   with_seg: bool = True,
-                  with_vlad: bool = True):
+                  with_vlad: bool = True,
+                  use_pallas: bool = False):
     """Returns infer(variables, images) -> dict, fully jittable.
 
     images: (B, H, W, 3) in [-1, 1] (the reference normalizes (x-0.5)*2,
     frontend.py:79).
+
+    use_pallas: run the border-mask/coord-decode/descriptor-sampling chain
+    through the fused Pallas kernel (ops/pallas/postprocess_kernel.py)
+    instead of the XLA ops. Identical outputs (golden-tested).
     """
 
     @jax.jit
     def infer(variables, images: Array) -> Dict[str, Array]:
         out = model.apply(variables, images, False)
-        post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
-                            eval_mode=True)
+        if use_pallas:
+            from .ops.pallas.postprocess_kernel import \
+                fused_postprocess_pallas
+
+            score, coord, desc = fused_postprocess_pallas(
+                out["score"], out["coord"], out["feat"], H, W, cfg.cell,
+                cfg.cross_ratio)
+            post = dict(out)
+            post.update(score=score, coord=coord, feat=desc,
+                        seg=jnp.argmax(out["seg"], axis=-1, keepdims=True))
+        else:
+            post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
+                                eval_mode=True)
         result = {"score": post["score"], "coord": post["coord"],
                   "feat": post["feat"]}
         if with_seg:

@@ -41,6 +41,7 @@ class NetVLAD(nn.Module):
     num_clusters: int = 64
     dim: int = 128
     normalize_input: bool = True
+    vladv2: bool = False  # vladv2 adds a bias to the assignment conv
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -53,7 +54,7 @@ class NetVLAD(nn.Module):
         if self.normalize_input:
             x = l2_normalize(x, axis=-1)
 
-        # soft assignment: 1x1 conv == matmul over channels (vladv1: no bias)
+        # soft assignment: 1x1 conv == matmul over channels
         assign_w = self.param("assign_w", nn.initializers.lecun_normal(),
                               (C, K), jnp.float32)
         centroids = self.param("centroids", nn.initializers.uniform(scale=1.0),
@@ -62,6 +63,10 @@ class NetVLAD(nn.Module):
         xf = x.reshape(B, H * W, C)
         logits = jnp.einsum("bsc,ck->bsk", xf, assign_w,
                             preferred_element_type=jnp.float32)
+        if self.vladv2:
+            assign_b = self.param("assign_b", nn.initializers.zeros, (K,),
+                                  jnp.float32)
+            logits = logits + assign_b
         a = nn.softmax(logits, axis=-1)  # (B, S, K)
 
         # vlad[b,k,c] = sum_s a[b,s,k] * x[b,s,c] - cen[k,c] * sum_s a[b,s,k]

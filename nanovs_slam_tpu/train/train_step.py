@@ -148,10 +148,13 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
 
 
 def make_optimizer(name: str = "adam", lr=3e-4, weight_decay: float = 1e-5,
-                   grad_clip: float = 1.0,
-                   schedule=None) -> optax.GradientTransformation:
+                   grad_clip: float = 1.0, schedule=None,
+                   freeze_backbone: bool = False
+                   ) -> optax.GradientTransformation:
     """Optimizer factory matching train_multitask.py:371-396 options
-    (adam | adamw | sgd) with global-norm clipping 1.0 (:516)."""
+    (adam | adamw | sgd). Gradients are clipped BY VALUE at 1.0 like the
+    reference's clip_grad_value_ (:516). freeze_backbone zeroes backbone
+    grads (reference freeze_backbone, kp2dtiny.py:499-502)."""
     lr_schedule = schedule if schedule is not None else lr
     if name == "adam":
         opt = optax.adam(lr_schedule)
@@ -161,4 +164,21 @@ def make_optimizer(name: str = "adam", lr=3e-4, weight_decay: float = 1e-5,
         opt = optax.sgd(lr_schedule, momentum=0.9)
     else:
         raise ValueError(name)
-    return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    parts = [optax.clip(grad_clip), opt]
+    if freeze_backbone:
+        def mask_fn(tree):
+            def walk(node, frozen):
+                if isinstance(node, dict) or hasattr(node, "items"):
+                    return {k: walk(v, frozen or k == "backbone")
+                            for k, v in node.items()}
+                return not frozen
+            return walk(tree, False)
+        parts.append(optax.masked(
+            optax.set_to_zero(), mask_fn_to_inverse(mask_fn)))
+    return optax.chain(*parts)
+
+
+def mask_fn_to_inverse(mask_fn):
+    def inv(tree):
+        return jax.tree_util.tree_map(lambda b: not b, mask_fn(tree))
+    return inv

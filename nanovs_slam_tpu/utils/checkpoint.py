@@ -1,0 +1,105 @@
+"""Checkpoint save/restore (Orbax-backed).
+
+Behavioral contract (reference: utils/utils.py:9-37 load_checkpoint,
+train_multitask.py:553-562 checkpoint dict {epoch, state_dict, optimizer,
+config, start_results, current_results}; partial restore with seg-head
+filtering filter_statedict :309-325).
+
+TPU-native: checkpoints are flax pytrees {params, batch_stats, opt_state,
+io_params, io_batch_stats} saved with orbax; config/results ride along as
+JSON. Partial-restore modes drop the seg head (class-count changes) or
+vlad head, mirroring the reference's filter modes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state, config: Optional[Dict] = None,
+                    epoch: int = 0, results: Optional[Dict] = None,
+                    start_results: Optional[Dict] = None):
+    """state: TrainState or dict of pytrees."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if hasattr(state, "params"):
+        tree = {"params": state.params, "batch_stats": state.batch_stats,
+                "io_params": state.io_params,
+                "io_batch_stats": state.io_batch_stats,
+                "opt_state": state.opt_state}
+    else:
+        tree = dict(state)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, _to_numpy(tree))
+    ckptr.wait_until_finished()
+    meta = {"epoch": epoch, "config": config or {},
+            "results": results or {}, "start_results": start_results or {}}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str, target=None) -> Tuple[Dict, Dict]:
+    """Returns (tree, meta)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(path, target=target)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def filter_params(params: Dict, mode: Optional[str] = None) -> Dict:
+    """Partial-restore filtering (train_multitask.py:309-325):
+    mode 'seg' drops the whole seg head, 'vlad' the vlad head,
+    'seg_last' only the final class conv (for class-count changes)."""
+    if mode is None:
+        return params
+    params = dict(params)
+    if mode == "seg":
+        params.pop("seg_head", None)
+        return params
+    if mode == "vlad":
+        params.pop("vlad_head", None)
+        return params
+    if mode == "seg_last":
+        if "seg_head" in params:
+            seg = dict(params["seg_head"])
+            for k in ("convs_8", "convs_7"):
+                if k in seg and "kernel" in seg[k]:
+                    seg.pop(k)
+                    break
+            params["seg_head"] = seg
+        return params
+    raise NotImplementedError(mode)
+
+
+def merge_params(init_params: Dict, restored: Dict) -> Dict:
+    """Overlay restored params onto freshly-initialized ones (strict=False
+    load: missing heads keep their init)."""
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = merge(a[k], v) if k in a else v
+            return out
+        return b
+    return merge(init_params, restored)

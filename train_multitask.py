@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Multitask training driver (TPU-native).
+
+CLI contract mirrors the reference train_multitask.py (flag names,
+dataset configs, loss-weight schedules, optimizer/scheduler options,
+checkpoint layout) while the training step itself is ONE jitted XLA
+program over a data-parallel jax.sharding.Mesh.
+
+Reference surface: train_multitask.py:216-290 (argparse), :191-213
+(dataset train configs), :52-173 (loss-weight schedules), :371-396
+(optimizers/schedulers), :510-525 (train loop), :553-562 (checkpoints).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+COCOSTUFF_CONFIG = dict(lr=0.0005, n_classes=28, im_h=120, im_w=160,
+                        n_epochs=20, optimizer="adam", lr_scheduler="cosine",
+                        freeze_backbone=False)
+CITYSCAPES_CONFIG = dict(lr=0.001, n_classes=19, im_h=120, im_w=160,
+                         n_epochs=20, optimizer="adam", lr_scheduler="cosine",
+                         freeze_backbone=True)
+SYNTHETIC_CONFIG = dict(lr=0.0005, n_classes=8, im_h=96, im_w=128,
+                        n_epochs=2, optimizer="adam", lr_scheduler="cosine",
+                        freeze_backbone=False)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train KP2DTiny multitask")
+    p.add_argument("--config", default="S", help="model config name")
+    p.add_argument("--model_type", default="KP2DtinyV2",
+                   choices=["KP2DtinyV2", "KP2DtinyV3", "DD", "DF"])
+    p.add_argument("--dataset_name", default="cocostuff",
+                   choices=["cocostuff", "cityscapes", "synthetic"])
+    p.add_argument("--dataset_config", default="datasets.json")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--n_epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42069)
+    p.add_argument("--model_path", default=None, help="checkpoint to resume")
+    p.add_argument("--out_model_path", default="model_ckpt")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--top_k", type=int, default=300)
+    p.add_argument("--depth", action="store_true")
+    p.add_argument("--to_mcu", action="store_true")
+    p.add_argument("--freeze_backbone", action="store_true")
+    p.add_argument("--ignore_seg_head", action="store_true",
+                   help="drop final seg conv on restore (class change)")
+    p.add_argument("--only_segmentation", action="store_true")
+    p.add_argument("--only_keypoints", action="store_true")
+    p.add_argument("--no_vpr", action="store_true")
+    p.add_argument("--loss_schedule", default="default",
+                   choices=["default", "refined", "D", "none"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (recommended on TPU)")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--no_eval", action="store_true")
+    return p.parse_args()
+
+
+def get_dataset(args, train_config, size):
+    from nanovs_slam_tpu.data.datasets import (COCOStuffDataset,
+                                               CityscapesDataset,
+                                               SyntheticShapesDataset,
+                                               load_datasets_json)
+
+    paths = load_datasets_json(args.dataset_config)
+    n_classes = train_config["n_classes"]
+    if args.dataset_name == "cocostuff":
+        root = paths.get("coco_data_path")
+        if root and os.path.isdir(root):
+            return (COCOStuffDataset(root, size, "train", n_classes,
+                                     args.depth),
+                    COCOStuffDataset(root, size, "val", n_classes,
+                                     args.depth))
+        print("WARNING: coco_data_path missing; falling back to synthetic")
+    if args.dataset_name == "cityscapes":
+        root = paths.get("cityscapes_data_path")
+        if root and os.path.isdir(root):
+            return (CityscapesDataset(root, size, "train"),
+                    CityscapesDataset(root, size, "val"))
+        print("WARNING: cityscapes_data_path missing; using synthetic")
+    return (SyntheticShapesDataset(size, 64, n_classes, seed=0,
+                                   with_depth=args.depth),
+            SyntheticShapesDataset(size, 16, n_classes, seed=1,
+                                   with_depth=args.depth))
+
+
+def main():
+    args = parse_args()
+    train_config = {"cocostuff": COCOSTUFF_CONFIG,
+                    "cityscapes": CITYSCAPES_CONFIG,
+                    "synthetic": SYNTHETIC_CONFIG}[args.dataset_name].copy()
+    if args.lr is not None:
+        train_config["lr"] = args.lr
+    if args.n_epochs is not None:
+        train_config["n_epochs"] = args.n_epochs
+    if args.freeze_backbone:
+        train_config["freeze_backbone"] = True
+    size = (train_config["im_h"], train_config["im_w"])
+    H, W = size
+
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.data.pipeline import PairLoader
+    from nanovs_slam_tpu.models.kp2dtiny import build_model
+    from nanovs_slam_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from nanovs_slam_tpu.train.schedules import (DEFAULT_LOSS_WEIGHTS,
+                                                 loss_weights_for_epoch,
+                                                 make_lr_schedule)
+    from nanovs_slam_tpu.train.train_step import (create_train_state,
+                                                  make_optimizer,
+                                                  make_train_step)
+    from nanovs_slam_tpu.utils.checkpoint import (filter_params,
+                                                  load_checkpoint,
+                                                  merge_params,
+                                                  save_checkpoint)
+    from nanovs_slam_tpu.utils.logging import MetricLogger
+
+    v3 = args.model_type in ("KP2DtinyV3", "DF")
+    cfg = get_config(args.config, v3=v3, n_classes=train_config["n_classes"],
+                     to_mcu=args.to_mcu, depth=args.depth,
+                     dtype="bfloat16" if args.bf16 else "float32")
+    model = build_model(cfg)
+
+    train_flags = {"keypoints": True, "segmentation": True, "visloc": True,
+                   "depth": args.depth}
+    if args.only_segmentation:
+        train_flags.update(keypoints=False, visloc=False, depth=False)
+    elif args.only_keypoints:
+        train_flags.update(segmentation=False, visloc=False, depth=False)
+    if args.no_vpr:
+        train_flags["visloc"] = False
+    if args.dataset_name == "cityscapes":
+        train_flags["depth"] = False
+
+    dataset, dataset_val = get_dataset(args, train_config, size)
+    d_f = cfg.cell // 2
+    loader = PairLoader(dataset, args.batch_size, H, W, d_f=d_f, train=True,
+                        seed=args.seed, with_depth=args.depth)
+    steps_per_epoch = len(loader)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+
+    lr_sched = make_lr_schedule(train_config["lr_scheduler"],
+                                train_config["lr"], steps_per_epoch,
+                                train_config["n_epochs"])
+    tx = make_optimizer(train_config["optimizer"], schedule=lr_sched,
+                        freeze_backbone=train_config["freeze_backbone"])
+    rng = jax.random.PRNGKey(args.seed)
+    state, io_net = create_train_state(model, cfg, rng, (1, H, W, 3), tx,
+                                       with_io=train_flags["keypoints"],
+                                       io_top_k=args.top_k)
+
+    if args.model_path:
+        tree, meta = load_checkpoint(args.model_path)
+        mode = "seg_last" if args.ignore_seg_head else None
+        restored = filter_params(tree["params"], mode)
+        state = state.replace(
+            params=merge_params(state.params, restored),
+            batch_stats=merge_params(state.batch_stats,
+                                     tree.get("batch_stats", {})))
+        print(f"Restored model from {args.model_path} "
+              f"(epoch {meta.get('epoch')})")
+
+    n_dev = args.num_devices or jax.device_count()
+    mesh = make_mesh(n_dev)
+    state = replicate(mesh, state)
+    step_fn = make_train_step(model, cfg, H, W, io_net=io_net,
+                              train_flags=train_flags, io_top_k=args.top_k)
+
+    config_blob = {"input_args": vars(args), "train_config": train_config,
+                   "size": size, "model_config": cfg.name,
+                   "variant": cfg.variant, "loss_weights_schedule":
+                   args.loss_schedule}
+    logger = MetricLogger(use_wandb=args.wandb, config=config_blob)
+
+    results = {}
+    t_start = time.time()
+    for epoch in range(args.start_epoch, train_config["n_epochs"]):
+        weights = loss_weights_for_epoch(epoch, args.loss_schedule,
+                                         DEFAULT_LOSS_WEIGHTS)
+        if args.no_vpr:
+            weights = weights._replace(vlad_loss=0.0)
+        epoch_rng = jax.random.fold_in(rng, epoch)
+        losses = []
+        for i, batch in enumerate(loader):
+            if i >= steps_per_epoch:
+                break
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch, weights,
+                                     jax.random.fold_in(epoch_rng, i))
+            if i % max(1, steps_per_epoch // 10) == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                losses.append(m["total_loss"])
+                logger.log_dict("loss/", m, step=int(state.step))
+                print(f"E{epoch} it{i}/{steps_per_epoch} "
+                      f"loss {m['total_loss']:.4f} "
+                      f"seg {m.get('seg_loss', 0):.4f} "
+                      f"vlad {m.get('vlad_loss', 0):.4f}")
+
+        if not args.no_eval and (epoch + 1) % args.eval_every == 0:
+            results = evaluate(model, cfg, state, dataset_val, size, args)
+            logger.log_dict("val/", results, step=int(state.step))
+            print(f"E{epoch} val: {results}")
+
+        save_checkpoint(args.out_model_path, state,
+                        config=config_blob, epoch=epoch + 1,
+                        results=results)
+    print(f"done in {time.time() - t_start:.1f}s; "
+          f"final loss {losses[-1] if losses else float('nan')}")
+
+
+def evaluate(model, cfg, state, dataset_val, size, args):
+    """Per-epoch validation: segmentation metrics on the val split
+    (full HPatches/Pittsburgh/KITTI evals live in eval_multitask.py)."""
+    import jax.numpy as jnp
+
+    from nanovs_slam_tpu.evaluation.segmentation import (
+        _reduce, iou_score, segmentation_stats)
+    from nanovs_slam_tpu.inference import make_infer_fn
+
+    H, W = size
+    infer = make_infer_fn(model, cfg, H, W)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    iou = 0.0
+    n = 0
+    for i in range(min(len(dataset_val), 8)):
+        item = dataset_val[i]
+        x = jnp.asarray(item["image"][None] * 2.0 - 1.0)
+        out = infer(variables, x)
+        pred = np.asarray(out["seg"])[..., 0]
+        import cv2
+
+        gt = cv2.resize(item["seg"], pred.shape[1:][::-1],
+                        interpolation=cv2.INTER_NEAREST)[None]
+        tp, fp, fn_, tn = segmentation_stats(pred, gt, cfg.n_classes)
+        iou += _reduce(iou_score, tp, fp, fn_, tn, "micro-imagewise")
+        n += 1
+    return {"seg_iou": iou / max(n, 1)}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Standalone VO trajectory evaluation on KITTI.
+
+CLI contract mirrors the reference vo_eval.py: run the full VO pipeline
+over a KITTI sequence, report absolute/relative error statistics and save
+an artifacts JSON (vo_eval.py:95-167 ErrorStatistics, :335-351 artifacts).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--kitti_path", required=True)
+    p.add_argument("--gt_name", default="06.txt")
+    p.add_argument("--video_name", default="06.mp4")
+    p.add_argument("--model_path", default=None)
+    p.add_argument("--config", default="N")
+    p.add_argument("--model_type", default="KP2DtinyV2")
+    p.add_argument("--n_classes", type=int, default=28)
+    p.add_argument("--im_h", type=int, default=128)
+    p.add_argument("--im_w", type=int, default=512)
+    p.add_argument("--top_k", type=int, default=4000)
+    p.add_argument("--matcher", default="bf", choices=["bf", "lightglue"])
+    p.add_argument("--semantic_filter", action="store_true")
+    p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--out", default="vo_results.json")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+    from nanovs_slam_tpu.vo.visual_odometry import evaluate_visual_odometry
+
+    v3 = args.model_type in ("KP2DtinyV3", "DF")
+    cfg = get_config(args.config, v3=v3, n_classes=args.n_classes)
+    model = build_model(cfg)
+    H, W = args.im_h, args.im_w
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                     (1, H, W, 3))
+    if args.model_path:
+        if os.path.isdir(args.model_path):
+            from nanovs_slam_tpu.utils.checkpoint import load_checkpoint
+
+            tree, _ = load_checkpoint(args.model_path)
+            params, batch_stats = tree["params"], tree["batch_stats"]
+        else:
+            from nanovs_slam_tpu.utils.torch_import import \
+                load_torch_checkpoint
+
+            params, batch_stats, _ = load_torch_checkpoint(args.model_path)
+
+    fe = KP2DTinyFrontend(
+        model, cfg, {"params": params, "batch_stats": batch_stats},
+        (H, W), top_k=args.top_k, semantic_filter=args.semantic_filter,
+        classes_to_filter=args.classes_to_filter)
+    results = evaluate_visual_odometry(
+        fe, args.kitti_path, args.gt_name, args.video_name,
+        new_size=(H, W), max_frames=args.max_frames, verbose=True)
+    print(json.dumps(results, indent=2, default=str))
+    with open(args.out, "w") as f:
+        json.dump({"args": vars(args), "results": results}, f, indent=2,
+                  default=str)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
