@@ -330,6 +330,7 @@ class LightGlue(nn.Module):
                        for i in range(cfg.n_layers - 1)]
 
         all_desc0, all_desc1 = [], []
+        all_assignments = []
         do_early_stop = cfg.depth_confidence > 0 and not train
         stopped = jnp.asarray(False)
         for i in range(cfg.n_layers):
@@ -351,27 +352,50 @@ class LightGlue(nn.Module):
             if train or i == cfg.n_layers - 1:
                 all_desc0.append(desc0)
                 all_desc1.append(desc1)
+            if train and i < cfg.n_layers - 1:
+                # materialize every layer's assignment (deep supervision,
+                # reference loss :646-656) and confidence head params
+                la_i, _ = assigners[i](desc0, desc1, mask0, mask1)
+                all_assignments.append(la_i)
+                confidences[i](desc0, desc1)
 
         scores, _ = assigners[cfg.n_layers - 1](desc0, desc1, mask0, mask1)
+        all_assignments.append(scores)
         m0, m1, ms0, ms1 = filter_matches(scores, cfg.filter_threshold,
                                           mask0, mask1)
-        return {
+        pred = {
             "matches0": m0, "matches1": m1,
             "matching_scores0": ms0, "matching_scores1": ms1,
             "ref_descriptors0": jnp.stack(all_desc0, 1),
             "ref_descriptors1": jnp.stack(all_desc1, 1),
             "log_assignment": scores,
         }
+        if train:
+            pred["all_log_assignments"] = jnp.stack(all_assignments, 1)
+        return pred
 
-    def assignment_at_layer(self, data: Dict[str, Array], layer: int,
-                            desc0: Array, desc1: Array):
-        """Re-run a layer's MatchAssignment (used by the training loss)."""
-        assigner = MatchAssignment(self.cfg.descriptor_dim, self.cfg.dtype,
-                                   name=f"log_assignment_{layer}")
-        return assigner(desc0, desc1, data.get("mask0"), data.get("mask1"))
 
 
 def confidence_threshold(layer_index: int, n_layers: int) -> float:
     """(:613-616)"""
     return float(np.clip(0.8 + 0.1 * np.exp(-4.0 * layer_index / n_layers),
                          0, 1))
+
+
+def assignment_at_layer(params: Dict, layer: int, desc0: Array,
+                        desc1: Array, mask0: Optional[Array] = None,
+                        mask1: Optional[Array] = None) -> Array:
+    """Functional re-run of log_assignment_{layer} on stored descriptors
+    (used by the deep-supervision training loss, reference loss :646-656).
+    Operates directly on the params subtree (two Dense layers), avoiding a
+    second module method."""
+    p = params[f"log_assignment_{layer}"]
+    fp, mb = p["final_proj"], p["matchability"]
+    d = fp["kernel"].shape[1]
+    mdesc0 = (desc0 @ fp["kernel"] + fp["bias"]) / d ** 0.25
+    mdesc1 = (desc1 @ fp["kernel"] + fp["bias"]) / d ** 0.25
+    sim = jnp.einsum("bmd,bnd->bmn", mdesc0, mdesc1,
+                     preferred_element_type=jnp.float32)
+    z0 = desc0 @ mb["kernel"] + mb["bias"]
+    z1 = desc1 @ mb["kernel"] + mb["bias"]
+    return sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)

@@ -108,14 +108,16 @@ def lightglue_loss(model, params, pred: Dict[str, Array],
     losses = {"total": nll, "last": jax.lax.stop_gradient(nll), **metrics}
     losses["row_norm"] = jnp.exp(la_final)[:, :-1].sum(2).mean(1)
 
+    from .lightglue import assignment_at_layer
+
     sum_weights = 1.0
     conf_total = jnp.zeros_like(nll)
     N = pred["ref_descriptors0"].shape[1]
     for i in range(N - 1):
-        la_i, _ = model.apply(
-            {"params": params}, data, i,
-            pred["ref_descriptors0"][:, i], pred["ref_descriptors1"][:, i],
-            method="assignment_at_layer")
+        la_i = assignment_at_layer(
+            params, i, pred["ref_descriptors0"][:, i],
+            pred["ref_descriptors1"][:, i], data.get("mask0"),
+            data.get("mask1"))
         nll_i, _ = nll_loss(la_i, weights, nll_balancing)
         w = gamma ** (N - i - 1) if gamma > 0 else i + 1
         sum_weights += w

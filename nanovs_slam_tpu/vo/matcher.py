@@ -68,11 +68,24 @@ def ratio_test_match_one_to_one(desc_query: np.ndarray,
 
 def match_keypoints(kps_prev, feat_prev, kps_cur, feat_cur,
                     top_k_matches: int = 1000,
-                    ratio_test: float = K_RATIO_TEST):
+                    ratio_test: float = K_RATIO_TEST,
+                    use_native: bool = True):
     """(evaluation/visual_odometry.py:125-136): match prev->cur, keep the
-    top_k best-distance matches. Returns (kps0, kps1)."""
-    idxs0, idxs1, score = ratio_test_match_one_to_one(feat_prev, feat_cur,
-                                                      ratio_test)
+    top_k best-distance matches. Returns (kps0, kps1). Uses the native
+    C++ matcher (vo/native.py) when available."""
+    if use_native:
+        from .native import native_available, ratio_match_native
+
+        if native_available():
+            idxs0, idxs1, score = ratio_match_native(
+                np.asarray(feat_prev, np.float32),
+                np.asarray(feat_cur, np.float32), ratio_test)
+        else:
+            idxs0, idxs1, score = ratio_test_match_one_to_one(
+                feat_prev, feat_cur, ratio_test)
+    else:
+        idxs0, idxs1, score = ratio_test_match_one_to_one(
+            feat_prev, feat_cur, ratio_test)
     kps0 = np.asarray(kps_prev)[idxs0, :]
     kps1 = np.asarray(kps_cur)[idxs1, :]
     if len(score) > top_k_matches > 0:

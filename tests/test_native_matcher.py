@@ -1,0 +1,44 @@
+"""Native C++ matcher parity vs the numpy reference implementation."""
+
+import numpy as np
+import pytest
+
+from nanovs_slam_tpu.vo.matcher import knn2, ratio_test_match_one_to_one
+from nanovs_slam_tpu.vo.native import (knn2_native, native_available,
+                                       ratio_match_native)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native matcher build unavailable")
+
+
+def test_knn2_native_matches_numpy():
+    rs = np.random.RandomState(0)
+    d1 = rs.randn(200, 32).astype(np.float32)
+    d2 = rs.randn(300, 32).astype(np.float32)
+    idx_n, dist_n = knn2_native(d1, d2)
+    idx_p, dist_p = knn2(d1, d2)
+    np.testing.assert_array_equal(idx_n, idx_p)
+    np.testing.assert_allclose(dist_n, dist_p, atol=1e-3)
+
+
+def test_ratio_match_native_matches_numpy():
+    rs = np.random.RandomState(1)
+    d1 = rs.randn(150, 32).astype(np.float32)
+    d2 = rs.randn(180, 32).astype(np.float32)
+    i1n, i2n, dn = ratio_match_native(d1, d2)
+    i1p, i2p, dp = ratio_test_match_one_to_one(d1, d2)
+    assert set(zip(i1n.tolist(), i2n.tolist())) == \
+        set(zip(i1p.tolist(), i2p.tolist()))
+
+
+def test_native_speed_sane():
+    import time
+
+    rs = np.random.RandomState(2)
+    d1 = rs.randn(4000, 32).astype(np.float32)
+    d2 = rs.randn(4000, 32).astype(np.float32)
+    ratio_match_native(d1, d2)  # warm
+    t0 = time.perf_counter()
+    ratio_match_native(d1, d2)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"native matcher too slow: {dt:.3f}s"
