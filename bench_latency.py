@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Latency benchmark: p50/p95 keypoint extraction + LightGlue matching
+(the BASELINE.md tracked latency product metric).
+
+Measures single-frame end-to-end latency of the jitted
+extract -> normalize -> LightGlue match pipeline. Each sample fetches a
+scalar to force full execution (honest on asynchronous/tunneled
+backends). Prints a JSON dict.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.matching.configs import LIGHTGLUE_CONFIGS
+    from nanovs_slam_tpu.matching.extractor import make_extractor
+    from nanovs_slam_tpu.matching.lightglue import (LightGlue,
+                                                    normalize_keypoints)
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.utils.profiling import StepTimer
+
+    H, W, K = 240, 320, 512
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = get_config("N", n_classes=28,
+                     dtype="bfloat16" if on_tpu else "float32")
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    variables = {"params": params, "batch_stats": bs}
+    extract = make_extractor(model, cfg, H, W, max_keypoints=K)
+
+    lg_cfg = LIGHTGLUE_CONFIGS["kp2dtiny_S"]
+    matcher = LightGlue(lg_cfg)
+
+    @jax.jit
+    def pipeline(variables, lg_params, img0, img1):
+        e0 = extract(variables, img0)
+        e1 = extract(variables, img1)
+        data = {
+            "keypoints0": normalize_keypoints(e0["keypoints"], (W, H)),
+            "keypoints1": normalize_keypoints(e1["keypoints"], (W, H)),
+            "descriptors0": e0["descriptors"],
+            "descriptors1": e1["descriptors"],
+            "mask0": e0["mask"], "mask1": e1["mask"],
+        }
+        pred = matcher.apply({"params": lg_params}, data)
+        return (pred["matches0"].sum()
+                + pred["matching_scores0"].sum().astype(jnp.float32))
+
+    rs = np.random.RandomState(0)
+    img0 = jnp.asarray(rs.rand(1, H, W, 3).astype(np.float32) * 2 - 1)
+    img1 = jnp.asarray(rs.rand(1, H, W, 3).astype(np.float32) * 2 - 1)
+    data0 = extract(variables, img0)
+    lg_params = matcher.init(jax.random.PRNGKey(0), {
+        "keypoints0": normalize_keypoints(data0["keypoints"], (W, H)),
+        "keypoints1": normalize_keypoints(data0["keypoints"], (W, H)),
+        "descriptors0": data0["descriptors"],
+        "descriptors1": data0["descriptors"],
+        "mask0": data0["mask"], "mask1": data0["mask"]})["params"]
+
+    float(pipeline(variables, lg_params, img0, img1))  # compile + warm
+    timer = StepTimer()
+    n = 30 if on_tpu else 5
+    for _ in range(n):
+        with timer.measure("extract_match"):
+            float(pipeline(variables, lg_params, img0, img1))
+    stats = timer.stats()["extract_match"]
+    print(json.dumps({
+        "metric": "kp_extract_plus_lightglue_match_latency",
+        "p50_ms": round(stats["p50_ms"], 3),
+        "p95_ms": round(stats["p95_ms"], 3),
+        "note": "includes host round-trip on tunneled backends",
+    }))
+
+
+if __name__ == "__main__":
+    main()
