@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas postprocess kernel")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate with int8 fake-quantized weights (PTQ, "
+                        "reference eval_multitask.py:169-194 analog)")
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--max_items", type=int, default=None)
     return p.parse_args()
@@ -66,6 +69,11 @@ def main():
                 load_torch_checkpoint
 
             params, batch_stats, _ = load_torch_checkpoint(args.model_path)
+    if args.int8:
+        from nanovs_slam_tpu.quant import fake_quant_params
+
+        params = fake_quant_params(params)
+        print("evaluating with int8 fake-quantized weights")
     variables = {"params": params, "batch_stats": batch_stats}
     paths = load_datasets_json(args.dataset_config)
 

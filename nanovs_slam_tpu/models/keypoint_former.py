@@ -110,7 +110,8 @@ class KeypointFormer(nn.Module):
     cfg: KeypointFormerConfig
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Dict[str, Array]:
+    def __call__(self, x: Array, train: bool = False,
+                 only_encoder: bool = False) -> Dict[str, Array]:
         cfg = self.cfg
         dtype = cfg.compute_dtype
         d = cfg.decoder_dim
@@ -152,35 +153,11 @@ class KeypointFormer(nn.Module):
                              (cfg.feat_dim, 1, 1, 0, False)])
         vlad_feat = nn.relu(head("vlad", [(d, 1, 2, 1, True),
                                           (cfg.feat_dim, 1, 1, 0, False)]))
+        if only_encoder:
+            # dense VPR features for cluster init (kp2d_former.py:132-141)
+            return vlad_feat
         vlad = NetVLAD(cfg.num_clusters, cfg.feat_dim, vladv2=True,
                        dtype=dtype, name="netvlad")(vlad_feat)
 
         return {"score": score, "coord": shift, "feat": feat, "seg": seg,
                 "vlad": vlad}
-
-    def only_encoder(self, x: Array) -> Array:
-        cfg = self.cfg
-        stage_outs = MiT(cfg, name="mit")(x.astype(cfg.compute_dtype))
-        fused = []
-        d = cfg.decoder_dim
-        for i, so in enumerate(stage_outs):
-            y = nn.Conv(d, (1, 1), dtype=cfg.compute_dtype,
-                        name=f"to_fused{i}_conv")(so)
-            y = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                             epsilon=1e-5, dtype=cfg.compute_dtype,
-                             name=f"to_fused{i}_bn")(y)
-            y = nn.relu(y)
-            fused.append(_upsample_nearest(y, 2 ** i))
-        fused = jnp.concatenate(fused, axis=-1)
-        y = fused
-        for j, (feats, kernel, stride, pad, bn) in enumerate(
-                [(d, 1, 2, 1, True), (cfg.feat_dim, 1, 1, 0, False)]):
-            y = nn.Conv(feats, (kernel, kernel), strides=(stride, stride),
-                        padding=[(pad, pad)] * 2, dtype=cfg.compute_dtype,
-                        name=f"vlad_conv{j}")(y)
-            if bn:
-                y = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                                 epsilon=1e-5, dtype=cfg.compute_dtype,
-                                 name=f"vlad_bn{j}")(y)
-                y = nn.relu(y)
-        return nn.relu(y)

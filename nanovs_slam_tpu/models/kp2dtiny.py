@@ -44,8 +44,10 @@ class KP2DTinyV2(nn.Module):
     cfg: KP2DTinyConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 only_encoder: bool = False) -> Dict[str, jnp.ndarray]:
+        """only_encoder=True returns the dense L2-normalized VPR encoder
+        features (kp2dtiny.py:515-518), used for NetVLAD k-means init."""
         cfg = self.cfg
         c1, c2, c3, c4, c5, d1 = cfg.channel_dims
         dtype = cfg.compute_dtype
@@ -54,6 +56,13 @@ class KP2DTinyV2(nn.Module):
         feat_x, skip = BackBone(
             c1, c2, c3, c4, cfg.downsample, cfg.with_drop, cfg.bn_momentum,
             cfg.leaky_relu, dtype, name="backbone")(x, train)
+
+        if only_encoder:
+            return VPRHead(cfg.enc_dim, cfg.num_clusters, cfg.with_drop,
+                           cfg.bn_momentum, cfg.remove_netvlad,
+                           cfg.leaky_relu, cfg.global_descriptor_method,
+                           dtype, name="vlad_head")(feat_x,
+                                                    only_encoder=True)
 
         score = SimpleTaskHead(c4, 1, cfg.bn_momentum, cfg.with_drop,
                                cfg.leaky_relu, dtype,
@@ -91,28 +100,14 @@ class KP2DTinyV2(nn.Module):
             out["depth"] = nn.sigmoid(depth)
         return out
 
-    def only_encoder(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Dense L2-normalized VPR encoder features (kp2dtiny.py:515-518),
-        used for NetVLAD k-means cluster init."""
-        cfg = self.cfg
-        c1, c2, c3, c4, c5, d1 = cfg.channel_dims
-        dtype = cfg.compute_dtype
-        feat_x, _ = BackBone(
-            c1, c2, c3, c4, cfg.downsample, cfg.with_drop, cfg.bn_momentum,
-            cfg.leaky_relu, dtype, name="backbone")(x.astype(dtype), False)
-        return VPRHead(cfg.enc_dim, cfg.num_clusters, cfg.with_drop,
-                       cfg.bn_momentum, cfg.remove_netvlad, cfg.leaky_relu,
-                       cfg.global_descriptor_method, dtype,
-                       name="vlad_head")(feat_x, only_encoder=True)
-
 
 class KP2DTinyV3(nn.Module):
     cfg: KP2DTinyConfig
     apply_eval_softmax: bool = True  # seg softmax in fwd at eval (:942-943)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 only_encoder: bool = False) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         c1, c2, c3, c4, c5, d1 = cfg.channel_dims
         dtype = cfg.compute_dtype
@@ -124,6 +119,13 @@ class KP2DTinyV3(nn.Module):
         feat_x, skip = BackBone(
             c1, c2, c3, c4, cfg.downsample, cfg.with_drop, cfg.bn_momentum,
             cfg.leaky_relu, dtype, name="backbone")(x, train)
+
+        if only_encoder:
+            return VPRHead(cfg.enc_dim, cfg.num_clusters, cfg.with_drop,
+                           cfg.bn_momentum, cfg.remove_netvlad,
+                           cfg.leaky_relu, cfg.global_descriptor_method,
+                           dtype, name="vlad_head")(feat_x,
+                                                    only_encoder=True)
 
         score_loc = SimpleTaskHead(c4, 3, cfg.bn_momentum, cfg.with_drop,
                                    cfg.leaky_relu, dtype,
@@ -155,18 +157,6 @@ class KP2DTinyV3(nn.Module):
         if cfg.depth:
             out["depth"] = nn.sigmoid(depth)
         return out
-
-    def only_encoder(self, x: jnp.ndarray) -> jnp.ndarray:
-        cfg = self.cfg
-        c1, c2, c3, c4, c5, d1 = cfg.channel_dims
-        dtype = cfg.compute_dtype
-        feat_x, _ = BackBone(
-            c1, c2, c3, c4, cfg.downsample, cfg.with_drop, cfg.bn_momentum,
-            cfg.leaky_relu, dtype, name="backbone")(x.astype(dtype), False)
-        return VPRHead(cfg.enc_dim, cfg.num_clusters, cfg.with_drop,
-                       cfg.bn_momentum, cfg.remove_netvlad, cfg.leaky_relu,
-                       cfg.global_descriptor_method, dtype,
-                       name="vlad_head")(feat_x, only_encoder=True)
 
 
 def build_model(cfg: KP2DTinyConfig) -> nn.Module:

@@ -53,8 +53,7 @@ def get_clusters(model, variables, dataset, cfg, n_images, n_samples,
     from sklearn.cluster import MiniBatchKMeans
 
     rs = np.random.RandomState(seed)
-    only_enc = jax.jit(lambda v, x: model.apply(
-        v, x, method="only_encoder"))
+    only_enc = jax.jit(lambda v, x: model.apply(v, x, False, True))
     descs = []
     per_image = int(np.ceil(n_samples / n_images))
     idxs = rs.choice(len(dataset), min(n_images, len(dataset)),
