@@ -13,3 +13,21 @@ LIGHTGLUE_CONFIGS = {
                                   n_layers=4, num_heads=4),
     "default": LightGlueConfig(),
 }
+
+# Training presets mirroring the reference glue-factory YAMLs
+# (gluefactory/configs/kp2dtiny*+lightglue_*.yaml: homography pairs from
+# a 150k-image set, batch 2, 40 epochs, lr 1e-4, 512/1024 keypoints).
+GLUEFACTORY_PRESETS = {
+    "kp2dtiny+lightglue_homography": dict(
+        lg_config="kp2dtiny_S", extractor_config="S", max_keypoints=512,
+        batch_size=2, lr=1e-4, n_steps=40 * 75000),
+    "kp2dtiny_A+lightglue_homography": dict(
+        lg_config="kp2dtiny_A", extractor_config="S_A", max_keypoints=512,
+        batch_size=2, lr=1e-4, n_steps=40 * 75000),
+    "kp2dtiny_F+lightglue_homography": dict(
+        lg_config="kp2dtiny_F", extractor_config="F", max_keypoints=512,
+        batch_size=2, lr=1e-4, n_steps=40 * 75000),
+    "kp2dtiny_F+lightglue_megadepth": dict(
+        lg_config="kp2dtiny_F", extractor_config="F", max_keypoints=1024,
+        batch_size=2, lr=1e-4, n_steps=50 * 75000),
+}

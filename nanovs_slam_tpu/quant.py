@@ -74,6 +74,31 @@ def fake_quant_params(params) -> Dict:
     return dequantize_params(quantize_params_int8(params))
 
 
+def fake_quant_ste(w: Array) -> Array:
+    """Per-output-channel symmetric int8 fake quantization with a
+    straight-through gradient estimator — the QAT building block
+    (reference QAT: fuse + prepare_qat, KeypointNetwithIOLoss.py:377-381).
+    Forward sees the quantized weights; the gradient passes through."""
+    axes = tuple(range(w.ndim - 1))
+    absmax = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(w), axis=axes, keepdims=True))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127) * scale
+    return w + jax.lax.stop_gradient(q - w)
+
+
+def qat_params(params):
+    """Apply fake_quant_ste to every kernel leaf (QAT training mode)."""
+    def walk(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            return {k: (fake_quant_ste(v)
+                        if k == "kernel" and hasattr(v, "ndim")
+                        and v.ndim >= 2 else walk(v))
+                    for k, v in node.items()}
+        return node
+    return walk(params)
+
+
 def calibrate_activation_scales(apply_fn: Callable, variables,
                                 batches: Iterable[Array],
                                 max_batches: int = 100) -> Dict[str, float]:

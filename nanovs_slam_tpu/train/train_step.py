@@ -79,17 +79,24 @@ def create_train_state(model, cfg: KP2DTinyConfig, rng: jax.Array,
 def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
                     io_net: Optional[InlierNet] = None,
                     train_flags: Optional[Dict[str, bool]] = None,
-                    io_top_k: int = 300,
+                    io_top_k: int = 300, qat: bool = False,
                     donate: bool = True):
     """Returns train_step(state, batch, weights, rng) -> (state, metrics).
 
     batch: image/image_aug (B,H,W,3) in [-1,1], seg/seg_aug (B,hs,ws) int32,
     homography (B,3,3), optional depth/depth_aug (B,hs,ws,1).
+    qat: int8 fake-quantize every kernel in the forward pass with a
+    straight-through gradient (QAT; reference init_qat,
+    KeypointNetwithIOLoss.py:377-381).
     """
 
     def loss_fn(trainable, batch_stats, io_batch_stats, batch, rng,
                 weights: LossWeights):
         params, io_params = trainable["model"], trainable["io"]
+        if qat:
+            from ..quant import qat_params
+
+            params = qat_params(params)
         rng_aug, rng_clean, rng_io = jax.random.split(rng, 3)
 
         # two forward passes, aug first, threading BN stat updates in the

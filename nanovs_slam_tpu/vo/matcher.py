@@ -92,3 +92,28 @@ def match_keypoints(kps_prev, feat_prev, kps_cur, feat_cur,
         top = np.argpartition(score, top_k_matches)[:top_k_matches]
         kps0, kps1 = kps0[top], kps1[top]
     return kps0, kps1
+
+
+def match_semantic(kps_prev, feat_prev, seg_prev, kps_cur, feat_cur,
+                   seg_cur, n_classes: int = 28,
+                   ratio_test: float = K_RATIO_TEST):
+    """Per-semantic-class matching (reference
+    visual_odometry.py:347-380): only keypoints of the same segmentation
+    class are matched against each other, suppressing cross-class outliers.
+    Returns (kps0, kps1)."""
+    out0, out1 = [], []
+    seg_prev = np.asarray(seg_prev).reshape(-1)
+    seg_cur = np.asarray(seg_cur).reshape(-1)
+    for class_id in range(n_classes):
+        i0 = np.where(seg_prev == class_id)[0]
+        i1 = np.where(seg_cur == class_id)[0]
+        if len(i0) < 2 or len(i1) < 2:
+            continue
+        q, t, _ = ratio_test_match_one_to_one(
+            np.asarray(feat_prev)[i0], np.asarray(feat_cur)[i1], ratio_test)
+        if len(q):
+            out0.append(np.asarray(kps_prev)[i0][q])
+            out1.append(np.asarray(kps_cur)[i1][t])
+    if not out0:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    return np.concatenate(out0), np.concatenate(out1)

@@ -1,0 +1,74 @@
+"""KeypointFormer output parity vs the reference torch implementation."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanovs_slam_tpu.models.keypoint_former import (KeypointFormer,
+                                                    KeypointFormerConfig)
+from nanovs_slam_tpu.utils.torch_import_former import \
+    convert_keypoint_former_state_dict
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference not available")
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+def test_keypoint_former_parity_tiny():
+    from kp2dtiny.models.kp2d_former import (KEYPOINTFORMER_TINY_CONFIG,
+                                             KeypointFormer as TorchKPF)
+
+    torch.manual_seed(0)
+    tmodel = TorchKPF(**KEYPOINTFORMER_TINY_CONFIG, num_classes=7,
+                      device="cpu").eval()
+    tmodel.training = True  # raw outputs (no sampling branch)
+
+    params, stats = convert_keypoint_former_state_dict(tmodel.state_dict())
+
+    c = KEYPOINTFORMER_TINY_CONFIG
+    cfg = KeypointFormerConfig(
+        dims=tuple(c["dims"]), heads=tuple(c["heads"]),
+        ff_expansion=tuple(c["ff_expansion"]),
+        reduction_ratio=tuple(c["reduction_ratio"]),
+        num_layers=c["num_layers"], decoder_dim=c["decoder_dim"],
+        feat_dim=c["feat_dim"], n_classes=7, num_clusters=64)
+    jmodel = KeypointFormer(cfg)
+
+    rs = np.random.RandomState(0)
+    H, W = 64, 96
+    x = rs.rand(1, H, W, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jout = jmodel.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x), False)
+
+    def t2n(t):
+        a = t.numpy()
+        return a.transpose(0, 2, 3, 1) if a.ndim == 4 else a
+
+    # the torch forward applies border mask + coord decode inline
+    # (kp2d_former.py:153-185); ours returns raw score/shift — compare
+    # raw feat/seg/vlad and decoded score/coord via our postprocess
+    np.testing.assert_allclose(np.asarray(jout["feat"]), t2n(tout["feat"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jout["seg"]), t2n(tout["seg"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jout["vlad"]), t2n(tout["vlad"]),
+                               atol=2e-4)
+
+    from nanovs_slam_tpu.ops.grid import decode_coords, remove_border
+
+    score = remove_border(jout["score"])
+    coord = decode_coords(jout["coord"], H, W, cfg.cell)
+    np.testing.assert_allclose(np.asarray(score), t2n(tout["score"]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(coord), t2n(tout["coord"]),
+                               atol=2e-3)

@@ -63,6 +63,8 @@ def parse_args():
                    choices=["default", "refined", "D", "none"])
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (recommended on TPU)")
+    p.add_argument("--qat", action="store_true",
+                   help="int8 fake-quant QAT (straight-through estimator)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=1)
@@ -178,7 +180,8 @@ def main():
     mesh = make_mesh(n_dev)
     state = replicate(mesh, state)
     step_fn = make_train_step(model, cfg, H, W, io_net=io_net,
-                              train_flags=train_flags, io_top_k=args.top_k)
+                              train_flags=train_flags, io_top_k=args.top_k,
+                              qat=args.qat)
 
     config_blob = {"input_args": vars(args), "train_config": train_config,
                    "size": size, "model_config": cfg.name,
