@@ -9,14 +9,14 @@ the reference's eager forward + host-side filtering
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .configs import KP2DTinyConfig
-from .models.kp2dtiny import build_model
+
 from .ops.postprocess import post_process, top_k_keypoints
 
 Array = jnp.ndarray
