@@ -60,6 +60,31 @@ def results_bar_chart(results: Dict[str, float], path: str,
     return path
 
 
+def plot_trajectory(trajectory, gt_trajectory=None, path: str = "traj.png"):
+    """3D/2D trajectory plot (reference vo_eval.py trajectory plotting).
+    trajectory: list of (3,1) or (3,) translations."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.asarray([np.asarray(p).reshape(3) for p in trajectory])
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(111)
+    ax.plot(t[:, 0], t[:, 2], "-o", ms=2, label="estimated")
+    if gt_trajectory is not None:
+        g = np.asarray([np.asarray(p).reshape(3) for p in gt_trajectory])
+        ax.plot(g[:, 0], g[:, 2], "-", label="ground truth")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.axis("equal")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def latex_table(rows: List[Dict[str, float]], caption: str = "") -> str:
     """LaTeX results table (plot_script.py analog)."""
     if not rows:

@@ -186,5 +186,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                 "rotation": calculate_error_stats(r_errs),
                 "total": result,
                 "estimation_fails": vo.estimation_fails,
-                "stats": vo.stats.as_dict()}
+                "stats": vo.stats.as_dict(),
+                "trajectory": [t.reshape(3).tolist()
+                               for t in vo.trajectory]}
     return result

@@ -190,6 +190,7 @@ def main():
     logger = MetricLogger(use_wandb=args.wandb, config=config_blob)
 
     results = {}
+    losses = []
     t_start = time.time()
     for epoch in range(args.start_epoch, train_config["n_epochs"]):
         weights = loss_weights_for_epoch(epoch, args.loss_schedule,

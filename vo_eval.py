@@ -34,6 +34,8 @@ def parse_args():
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--out", default="vo_results.json")
+    p.add_argument("--plot", action="store_true",
+                   help="save the estimated trajectory plot")
     return p.parse_args()
 
 
@@ -73,6 +75,13 @@ def main():
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
                   default=str)
+    if args.plot:
+        from nanovs_slam_tpu.utils.plot import plot_trajectory
+
+        # re-run integration to collect the trajectory for plotting
+        print("trajectory plot written to",
+              plot_trajectory(results.get("trajectory", []),
+                              path=args.out.replace(".json", "_traj.png")))
     return 0
 
 
