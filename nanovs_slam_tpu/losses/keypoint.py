@@ -74,6 +74,18 @@ def masked_mean(x: Array, mask: Array, eps: float = 1e-12) -> Array:
     return jnp.sum(x * m) / (jnp.sum(m) + eps)
 
 
+def safe_norm(x: Array, axis=-1, keepdims: bool = False,
+              eps: float = 1e-12) -> Array:
+    """L2 norm with a finite gradient at x == 0.
+
+    torch.norm has a zero subgradient at the origin (which the reference
+    relies on, e.g. KeypointNetwithIOLoss.py:827-832); jnp.linalg.norm's
+    gradient there is 0/0 = NaN — observed as systematic NaN gradients in
+    bf16 training once descriptors/coords start coinciding exactly."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims)
+                    + eps)
+
+
 def descriptor_loss(source_feat: Array, target_feat: Array,
                     source_uv_norm: Array, source_uv_warped_norm: Array,
                     source_uv_warped: Array, relax_field: int = 4,
@@ -87,6 +99,12 @@ def descriptor_loss(source_feat: Array, target_feat: Array,
     """
     B, Hc, Wc, _ = source_uv_norm.shape
     C = source_feat.shape[-1]
+    f32 = jnp.float32
+    source_feat = source_feat.astype(f32)
+    target_feat = target_feat.astype(f32)
+    source_uv_norm = source_uv_norm.astype(f32)
+    source_uv_warped_norm = source_uv_warped_norm.astype(f32)
+    source_uv_warped = source_uv_warped.astype(f32)
 
     src_pts = _interior(source_uv_norm).reshape(B, -1, 2)
     tgt_pts = _interior(source_uv_warped_norm).reshape(B, -1, 2)
@@ -98,7 +116,7 @@ def descriptor_loss(source_feat: Array, target_feat: Array,
 
     # reference normalization quirk: norm(x + eps) + eps (:104-105)
     def ref_norm(d):
-        n = jnp.linalg.norm(d + epsilon, axis=-1, keepdims=True)
+        n = safe_norm(d + epsilon, axis=-1, keepdims=True)
         return d / (n + epsilon)
 
     ref_desc = ref_norm(ref_desc)
@@ -126,8 +144,8 @@ def descriptor_loss(source_feat: Array, target_feat: Array,
     # torch triplet_margin_loss: relu(||a-p|| - ||a-n|| + margin).mean(),
     # with torch's pairwise_distance eps=1e-6 added per-element
     eps_pd = 1e-6
-    d_pos = jnp.linalg.norm(ref_desc - tar_desc + eps_pd, axis=-1)
-    d_neg = jnp.linalg.norm(ref_desc - neg_desc + eps_pd, axis=-1)
+    d_pos = safe_norm(ref_desc - tar_desc + eps_pd, axis=-1)
+    d_neg = safe_norm(ref_desc - neg_desc + eps_pd, axis=-1)
     loss = jnp.mean(jnp.maximum(d_pos - d_neg + margin, 0.0))
     return loss, recall
 
@@ -142,10 +160,14 @@ def keypoint_losses(out: Dict[str, Array], out_aug: Dict[str, Array],
     The aug view is the SOURCE and the clean view the TARGET
     (KeypointNetwithIOLoss.py:425-431).
     """
-    source_score = out_aug["score"]
-    source_uv = out_aug["coord"]
-    target_score = out["score"]
-    target_uv = out["coord"]
+    # loss math in f32 regardless of the model compute dtype: in bf16,
+    # decoded coords quantize onto identical values, making pairwise
+    # distances exactly 0 and the sqrt gradient NaN (observed in training)
+    f32 = jnp.float32
+    source_score = out_aug["score"].astype(f32)
+    source_uv = out_aug["coord"].astype(f32)
+    target_score = out["score"].astype(f32)
+    target_uv = out["coord"].astype(f32)
     B, Hc, Wc, _ = target_score.shape
 
     target_uv_norm = normalize_uv(target_uv, H, W)
@@ -161,7 +183,9 @@ def keypoint_losses(out: Dict[str, Array], out_aug: Dict[str, Array],
     src = source_uv_warped.reshape(B, Hc * Wc, 2)
     tgt = target_uv.reshape(B, Hc * Wc, 2)
     d2 = jnp.sum(jnp.square(src[:, :, None] - tgt[:, None, :]), axis=-1)
-    dmat = jnp.sqrt(jnp.maximum(d2, 0.0))
+    # d2 can be EXACTLY 0 (coincident predictions); sqrt has an infinite
+    # gradient there, so keep a floor inside the sqrt
+    dmat = jnp.sqrt(jnp.maximum(d2, 1e-12))
     d_min = jnp.min(dmat, axis=2)  # (B, HcWc)
     d_min_idx = jnp.argmin(dmat, axis=2)
 
@@ -176,9 +200,10 @@ def keypoint_losses(out: Dict[str, Array], out_aug: Dict[str, Array],
     usp = (tgt_assoc + src_score_flat) * (d_min - loc_err_mean)
     usp_loss = masked_mean(usp, valid)
 
-    # resampled-score MSE over interior cells (:506-520)
+    # resampled-score MSE over interior cells (:506-520); the reference
+    # detaches the sampling coordinates (:506-511)
     tgt_score_resampled = grid_sample_bilinear(
-        target_score, source_uv_warped_norm)  # (B, Hc, Wc, 1)
+        target_score, jax.lax.stop_gradient(source_uv_warped_norm))
     mse = jnp.square(tgt_score_resampled - source_score)[..., 0]
     score_mse = masked_mean(mse, border[None])
 
@@ -202,6 +227,11 @@ def io_loss(source_score: Array, source_feat: Array, target_feat: Array,
 
     point_pair: (B, K, 5) = [src_uv_norm, associated_tgt_uv_norm, desc_dist].
     """
+    f32 = jnp.float32
+    source_score = source_score.astype(f32)
+    target_score = target_score.astype(f32)
+    source_feat = source_feat.astype(f32)
+    target_feat = target_feat.astype(f32)
     B, Hc, Wc, _ = source_uv_norm.shape
 
     def bottom_k_sorted(score_flat):
@@ -223,9 +253,9 @@ def io_loss(source_score: Array, source_feat: Array, target_feat: Array,
 
     src_desc = grid_sample_bilinear(source_feat, src_uv_topk)
     tgt_desc = grid_sample_bilinear(target_feat, tgt_uv_topk)
-    src_desc = src_desc / (jnp.linalg.norm(src_desc, axis=-1, keepdims=True)
+    src_desc = src_desc / (safe_norm(src_desc, axis=-1, keepdims=True)
                            + epsilon)
-    tgt_desc = tgt_desc / (jnp.linalg.norm(tgt_desc, axis=-1, keepdims=True)
+    tgt_desc = tgt_desc / (safe_norm(tgt_desc, axis=-1, keepdims=True)
                            + epsilon)
 
     dmat = jnp.einsum("bkc,bmc->bkm", src_desc, tgt_desc,
@@ -242,7 +272,7 @@ def io_loss(source_score: Array, source_feat: Array, target_feat: Array,
 
     tgt_assoc_raw = denormalize_uv(tgt_assoc, H, W)
     src_warped_raw = denormalize_uv(src_warped_topk, H, W)
-    match_err = jnp.linalg.norm(tgt_assoc_raw - src_warped_raw, axis=-1)
+    match_err = safe_norm(tgt_assoc_raw - src_warped_raw, axis=-1)
     inlier_mask = match_err < 4.0
     inlier_gt = 2.0 * inlier_mask.astype(jnp.float32) - 1.0
 

@@ -29,8 +29,11 @@ Dtype = Any
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """L2 normalization matching torch.nn.functional.normalize semantics:
-    x / max(||x||_2, eps)."""
-    norm = jnp.linalg.norm(x, ord=2, axis=axis, keepdims=True)
+    x / max(||x||_2, eps). The norm is computed as sqrt(sum(x^2) + eps^2) so
+    its gradient stays finite at x == 0 (torch defines a zero subgradient
+    there; jnp.linalg.norm's is NaN)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+                    + eps * eps)
     return x / jnp.maximum(norm, eps)
 
 

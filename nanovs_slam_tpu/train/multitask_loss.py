@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..losses.depth import depth_loss as depth_loss_fn
@@ -70,9 +71,14 @@ def multitask_loss(out: Dict[str, Array], out_aug: Dict[str, Array],
     if flags["keypoints"]:
         kp = keypoint_losses(out, out_aug, batch["homography"], H, W,
                              relax_field)
+        # the reference detaches the descriptor-loss sample coordinates
+        # (KeypointNetwithIOLoss.py:464-465) — gradients reach the dense
+        # descriptor maps only, not the keypoint locations
         metric_loss, recall = descriptor_loss(
-            out_aug["feat"], out["feat"], kp["source_uv_norm"],
-            kp["source_uv_warped_norm"], kp["source_uv_warped"], relax_field)
+            out_aug["feat"], out["feat"],
+            jax.lax.stop_gradient(kp["source_uv_norm"]),
+            jax.lax.stop_gradient(kp["source_uv_warped_norm"]),
+            jax.lax.stop_gradient(kp["source_uv_warped"]), relax_field)
         keypoint_total = (weights.loc_loss * kp["loc_loss"]
                           + weights.descriptor_loss * 2.0 * metric_loss
                           + weights.score_loss * kp["usp_loss"]
@@ -91,13 +97,17 @@ def multitask_loss(out: Dict[str, Array], out_aug: Dict[str, Array],
                          recall=recall)
 
     if flags["segmentation"]:
-        seg_loss = (segmentation_loss(out["seg"], batch["seg"]) * 0.5
-                    + segmentation_loss(out_aug["seg"], batch["seg_aug"]) * 0.5)
+        seg32 = out["seg"].astype(jnp.float32)
+        seg32_aug = out_aug["seg"].astype(jnp.float32)
+        seg_loss = (segmentation_loss(seg32, batch["seg"]) * 0.5
+                    + segmentation_loss(seg32_aug, batch["seg_aug"]) * 0.5)
         total = total + weights.segmentation_loss * seg_loss
         loss_dict["seg_loss"] = weights.segmentation_loss * seg_loss
 
     if flags["visloc"]:
-        vlad_loss = global_descriptor_loss(out["vlad"], out_aug["vlad"])
+        vlad_loss = global_descriptor_loss(
+            out["vlad"].astype(jnp.float32),
+            out_aug["vlad"].astype(jnp.float32))
         total = total + weights.vlad_loss * vlad_loss
         loss_dict["vlad_loss"] = weights.vlad_loss * vlad_loss
 

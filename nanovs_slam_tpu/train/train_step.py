@@ -171,7 +171,10 @@ def make_optimizer(name: str = "adam", lr=3e-4, weight_decay: float = 1e-5,
         opt = optax.sgd(lr_schedule, momentum=0.9)
     else:
         raise ValueError(name)
-    parts = [optax.clip(grad_clip), opt]
+    # zero_nans: a rare numerical blowup (e.g. a degenerate homography)
+    # must not poison the whole run — torch's norm subgradient conventions
+    # give the reference similar de-facto protection
+    parts = [optax.zero_nans(), optax.clip(grad_clip), opt]
     if freeze_backbone:
         def mask_fn(tree):
             def walk(node, frozen):
