@@ -124,7 +124,12 @@ def descriptor_loss(source_feat: Array, target_feat: Array,
 
     dmat = jnp.einsum("bmc,bnc->bmn", ref_desc, tar_desc,
                       preferred_element_type=jnp.float32)
-    dmat = jnp.sqrt(2 - 2 * jnp.clip(dmat, -1.0, 1.0) + epsilon)
+    # distance floor via max() instead of the reference's clamp(cos)+eps
+    # (:107): on TPU the backward of sqrt(2-2*clip(cos)+eps) produces NaN
+    # when the bf16-sourced cosine numerically exceeds 1 (verified at a
+    # captured failing training state); max() keeps the gradient finite
+    # and the values identical for all cos <= 1 - eps/2
+    dmat = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dmat, 1e-6))
 
     nn_idx = jnp.argmin(dmat, axis=2)  # (B, M)
     # recall: nearest neighbor lands exactly on the true position
@@ -260,7 +265,9 @@ def io_loss(source_score: Array, source_feat: Array, target_feat: Array,
 
     dmat = jnp.einsum("bkc,bmc->bkm", src_desc, tgt_desc,
                       preferred_element_type=jnp.float32)
-    dmat = jnp.sqrt(2 - 2 * jnp.clip(dmat, -1.0, 1.0) + epsilon)
+    # see descriptor_loss: max()-floored distance keeps the TPU backward
+    # finite when cos numerically exceeds 1 (:834-835 reference clamp)
+    dmat = jnp.sqrt(jnp.maximum(2.0 - 2.0 * dmat, 1e-6))
     dmat_min = jnp.min(dmat, axis=2)
     dmat_idx = jnp.argmin(dmat, axis=2)
 
