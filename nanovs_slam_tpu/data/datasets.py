@@ -172,28 +172,38 @@ class SyntheticShapesDataset:
 
         H, W = self.size
         rs = np.random.RandomState(self.seed * 10007 + i)
-        img = np.full((H, W, 3), rs.rand(3) * 0.3 + 0.1, np.float32)
+        # low-frequency texture so descriptors have local signal
+        tex = rs.rand(H // 8 + 1, W // 8 + 1, 3).astype(np.float32)
+        tex = cv2.resize(tex, (W, H), interpolation=cv2.INTER_CUBIC)
+        img = np.clip(tex * 0.35 + rs.rand(3) * 0.25 + 0.1, 0, 1
+                      ).astype(np.float32)
         seg = np.zeros((H, W), np.uint8)
         depth = np.full((H, W, 1), 0.8, np.float32)
         for _ in range(12):
             cls = rs.randint(1, self.n_classes)
             color = rs.rand(3).astype(np.float32)
+            shape_mask = np.zeros((H, W), np.uint8)
             x0, y0 = rs.randint(0, W - 8), rs.randint(0, H - 8)
             w, h = rs.randint(6, W // 2), rs.randint(6, H // 2)
             x1, y1 = min(x0 + w, W - 1), min(y0 + h, H - 1)
             if rs.rand() < 0.5:
-                cv2.rectangle(img, (x0, y0), (x1, y1), color.tolist(), -1)
+                cv2.rectangle(shape_mask, (x0, y0), (x1, y1), 1, -1)
                 cv2.rectangle(seg, (x0, y0), (x1, y1), int(cls), -1)
                 cv2.rectangle(depth, (x0, y0), (x1, y1),
                               float(rs.rand() * 0.8 + 0.1), -1)
             else:
                 r = max(3, min(w, h) // 2)
                 c = (min(x0 + r, W - 1), min(y0 + r, H - 1))
-                cv2.circle(img, c, r, color.tolist(), -1)
+                cv2.circle(shape_mask, c, r, 1, -1)
                 cv2.circle(seg, c, r, int(cls), -1)
                 cv2.circle(depth, c, r, float(rs.rand() * 0.8 + 0.1), -1)
+            # alpha-blend the shape so the background texture persists
+            # inside it (descriptors need local signal everywhere)
+            m = shape_mask[..., None].astype(np.float32) * 0.65
+            img = img * (1 - m) + color[None, None] * m
         noise = rs.randn(H, W, 3).astype(np.float32) * 0.02
-        out = {"image": np.clip(img + noise, 0, 1), "seg": seg}
+        out = {"image": np.clip(img + noise, 0, 1).astype(np.float32),
+               "seg": seg}
         if self.with_depth:
             out["depth"] = depth
         return out
