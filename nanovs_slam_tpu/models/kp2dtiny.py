@@ -45,9 +45,15 @@ class KP2DTinyV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 only_encoder: bool = False) -> Dict[str, jnp.ndarray]:
+                 only_encoder: bool = False,
+                 heads: tuple = ("score", "loc", "desc", "seg", "vlad"),
+                 ) -> Dict[str, jnp.ndarray]:
         """only_encoder=True returns the dense L2-normalized VPR encoder
-        features (kp2dtiny.py:515-518), used for NetVLAD k-means init."""
+        features (kp2dtiny.py:515-518), used for NetVLAD k-means init.
+
+        heads: which task heads to compute — a TPU-native extension: a VO
+        pipeline without the semantic filter skips seg+vlad (~40% of model
+        FLOPs). Initialize with the full tuple so all params exist."""
         cfg = self.cfg
         c1, c2, c3, c4, c5, d1 = cfg.channel_dims
         dtype = cfg.compute_dtype
@@ -64,35 +70,41 @@ class KP2DTinyV2(nn.Module):
                            dtype, name="vlad_head")(feat_x,
                                                     only_encoder=True)
 
-        score = SimpleTaskHead(c4, 1, cfg.bn_momentum, cfg.with_drop,
-                               cfg.leaky_relu, dtype,
-                               name="score_head")(feat_x, train)
-        score = nn.sigmoid(score)
-        shift = SimpleTaskHead(c4, 2, cfg.bn_momentum, cfg.with_drop,
-                               cfg.leaky_relu, dtype,
-                               name="loc_head")(feat_x, train)
-        shift = nn.tanh(shift)
+        out: Dict[str, jnp.ndarray] = {}
+        if "score" in heads:
+            score = SimpleTaskHead(c4, 1, cfg.bn_momentum, cfg.with_drop,
+                                   cfg.leaky_relu, dtype,
+                                   name="score_head")(feat_x, train)
+            out["score"] = nn.sigmoid(score)
+        if "loc" in heads:
+            shift = SimpleTaskHead(c4, 2, cfg.bn_momentum, cfg.with_drop,
+                                   cfg.leaky_relu, dtype,
+                                   name="loc_head")(feat_x, train)
+            out["coord"] = nn.tanh(shift)
 
         # Descriptor head channel plan (kp2dtiny.py:377-388):
         # convA c4->c4, convB c4->c3*4, pixelshuffle -> c3, cat skip (c3+c4),
         # convAa -> c4, convBb -> nfeatures.
-        feat = UpscaleHead(c4, c3 * 4, c4, cfg.nfeatures, cfg.with_drop,
-                           cfg.bn_momentum, cfg.upscale_method,
-                           cfg.leaky_relu, dtype,
-                           name="desc_head")(feat_x, skip, train)
+        if "desc" in heads:
+            out["feat"] = UpscaleHead(
+                c4, c3 * 4, c4, cfg.nfeatures, cfg.with_drop,
+                cfg.bn_momentum, cfg.upscale_method, cfg.leaky_relu, dtype,
+                name="desc_head")(feat_x, skip, train)
 
         seg_cls = SegmentationHeadATT if cfg.use_attention else SegmentationHead
-        seg = seg_cls(c5, cfg.n_classes, d1, cfg.with_drop, cfg.bn_momentum,
-                      cfg.upscale_method, cfg.leaky_relu, dtype,
-                      name="seg_head")(feat_x, skip, train)
+        if "seg" in heads:
+            out["seg"] = seg_cls(c5, cfg.n_classes, d1, cfg.with_drop,
+                                 cfg.bn_momentum, cfg.upscale_method,
+                                 cfg.leaky_relu, dtype,
+                                 name="seg_head")(feat_x, skip, train)
 
-        vlad = VPRHead(cfg.enc_dim, cfg.num_clusters, cfg.with_drop,
-                       cfg.bn_momentum, cfg.remove_netvlad, cfg.leaky_relu,
-                       cfg.global_descriptor_method, dtype,
-                       name="vlad_head")(feat_x, train=train)
+        if "vlad" in heads:
+            out["vlad"] = VPRHead(
+                cfg.enc_dim, cfg.num_clusters, cfg.with_drop,
+                cfg.bn_momentum, cfg.remove_netvlad, cfg.leaky_relu,
+                cfg.global_descriptor_method, dtype,
+                name="vlad_head")(feat_x, train=train)
 
-        out = {"score": score, "coord": shift, "feat": feat, "seg": seg,
-               "vlad": vlad}
         if cfg.depth:
             depth = seg_cls(c5, 1, d1, cfg.with_drop, cfg.bn_momentum,
                             cfg.upscale_method, cfg.leaky_relu, dtype,

@@ -45,8 +45,10 @@ def post_process(out: Dict[str, Array], H: int, W: int, cell: int,
     score = remove_border(out["score"])
     coord = decode_coords(out["coord"], H, W, cell, cross_ratio)
     if eval_mode:
-        out["feat"] = sample_descriptors(out["feat"], coord, H, W)
-        out["seg"] = jnp.argmax(out["seg"], axis=-1, keepdims=True)
+        if "feat" in out:
+            out["feat"] = sample_descriptors(out["feat"], coord, H, W)
+        if "seg" in out:
+            out["seg"] = jnp.argmax(out["seg"], axis=-1, keepdims=True)
     out["score"] = score
     out["coord"] = coord
     return out

@@ -45,35 +45,40 @@ class KP2DTinyFrontend:
 
     def _build(self):
         H, W, cfg = self.H, self.W, self.cfg
+        # head gating: without the semantic filter, seg (and vlad) are not
+        # needed — skipping them removes ~40% of the model FLOPs
+        need_seg = self.semantic_filter and len(self.classes_to_filter) > 0
+        heads = (("score", "loc", "desc", "seg") if need_seg
+                 else ("score", "loc", "desc"))
 
         @jax.jit
         def infer(variables, images):
-            out = self.model.apply(variables, images, False)
+            out = self.model.apply(variables, images, False, False, heads)
             post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
                                 eval_mode=True)
             score = post["score"].astype(jnp.float32)
             coord = post["coord"].astype(jnp.float32)
             feat = post["feat"].astype(jnp.float32)
-            seg_map = post["seg"]  # (B, Hs, Ws, 1) argmax classes
+            B, Hc, Wc, _ = score.shape
 
-            # sample seg class at keypoint coords (nearest,
-            # kp2dtiny.py:633-637 with sample_segmentation=True)
-            gx = coord[..., 0] / ((W - 1) / 2.0) - 1.0
-            gy = coord[..., 1] / ((H - 1) / 2.0) - 1.0
-            seg_at_kp = grid_sample_nearest(
-                seg_map.astype(jnp.float32),
-                jnp.stack([gx, gy], axis=-1))[..., 0]
-
-            if self.semantic_filter and self.classes_to_filter:
+            if need_seg:
+                seg_map = post["seg"]  # (B, Hs, Ws, 1) argmax classes
+                # sample seg class at keypoint coords (nearest,
+                # kp2dtiny.py:633-637 with sample_segmentation=True)
+                gx = coord[..., 0] / ((W - 1) / 2.0) - 1.0
+                gy = coord[..., 1] / ((H - 1) / 2.0) - 1.0
+                seg_at_kp = grid_sample_nearest(
+                    seg_map.astype(jnp.float32),
+                    jnp.stack([gx, gy], axis=-1))[..., 0]
                 bad = jnp.zeros(seg_at_kp.shape, bool)
                 for c in self.classes_to_filter:
                     bad = bad | (seg_at_kp == c)
                 score = jnp.where(bad[..., None], 0.0, score)
+            else:
+                seg_at_kp = jnp.zeros((B, Hc, Wc), jnp.float32)
 
             kp, s, d, valid = top_k_keypoints(score, coord, feat, self.top_k,
                                               self.nn_thresh)
-            seg_sel = None
-            B, Hc, Wc, _ = score.shape
             return kp, s, d, valid, seg_at_kp.reshape(B, Hc * Wc), post
 
         return infer
