@@ -86,7 +86,8 @@ def main():
         root = paths.get("hpatches_data_path")
         if root and os.path.isdir(root):
             infer = make_infer_fn(model, cfg, H, W,
-                                  use_pallas=args.use_pallas)
+                                  use_pallas=True if args.use_pallas
+                                  else "auto")
 
             def infer_np(images):
                 out = infer(variables, images)
