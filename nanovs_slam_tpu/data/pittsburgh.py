@@ -25,19 +25,31 @@ DbStruct = namedtuple(
      "numQ", "posDistThr", "posDistSqThr", "nonTrivPosDistSqThr"])
 
 
+def _cell_to_str(f) -> str:
+    """Unwrap a loadmat cell entry to a plain string (handles varying
+    nesting between real NetVLAD mats and savemat round-trips)."""
+    v = f
+    while not isinstance(v, str):
+        if hasattr(v, "item") and getattr(v, "size", 2) == 1:
+            v = v.item()
+        else:
+            v = v[0]
+    return v
+
+
 def parse_db_struct(path: str) -> DbStruct:
     from scipy.io import loadmat
 
     mat = loadmat(path)
     m = mat["dbStruct"].item()
     dataset = "pitts"
-    which_set = m[0].item()
-    db_image = [f[0].item() for f in m[1]]
+    which_set = _cell_to_str(m[0])
+    db_image = [_cell_to_str(f) for f in m[1]]
     utm_db = m[2].T
-    q_image = [f[0].item() for f in m[3]]
+    q_image = [_cell_to_str(f) for f in m[3]]
     utm_q = m[4].T
-    num_db = m[5].item()
-    num_q = m[6].item()
+    num_db = int(m[5].item())
+    num_q = int(m[6].item())
     pos_dist_thr = m[7].item()
     pos_dist_sq_thr = m[8].item()
     non_triv_pos_dist_sq_thr = m[9].item()

@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--im_h", type=int, default=128)
     p.add_argument("--im_w", type=int, default=512)
     p.add_argument("--top_k", type=int, default=4000)
+    p.add_argument("--nn_thresh", type=float, default=0.7,
+                   help="keypoint confidence threshold (frontend.py:31)")
     p.add_argument("--matcher", default="bf", choices=["bf", "lightglue"])
     p.add_argument("--semantic_filter", action="store_true")
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
@@ -66,7 +68,8 @@ def main():
 
     fe = KP2DTinyFrontend(
         model, cfg, {"params": params, "batch_stats": batch_stats},
-        (H, W), top_k=args.top_k, semantic_filter=args.semantic_filter,
+        (H, W), nn_thresh=args.nn_thresh, top_k=args.top_k,
+        semantic_filter=args.semantic_filter,
         classes_to_filter=args.classes_to_filter)
     results = evaluate_visual_odometry(
         fe, args.kitti_path, args.gt_name, args.video_name,
