@@ -105,14 +105,43 @@ class ConvBNAct(nn.Module):
         return act_fn(x, self.leaky_relu)
 
 
-class TransposedConvUpsample(nn.Module):
-    """ConvTranspose(c -> c//4, k3 s2) + BN + act: exact 2x upsample.
+class TransposedConvKernel(nn.Module):
+    """Bare ConvTranspose(c -> c//4, k3 s2 p1 op1): exact 2x upsample.
 
-    Reference: TransposedConvUpsampleModel (base.py:80-117) — torch
-    ConvTranspose2d(kernel=3, stride=2, padding=1, output_padding=1), which
-    maps (H, W) -> (2H, 2W). Equivalent lax.conv_transpose padding for
-    k=3, s=2, p=1, op=1 is ((1, 2), (1, 2)) on the dilated input.
+    Reference: the transposed_conv inside TransposedConvUpsampleModel
+    (base.py:80-117). Kernel layout (H, W, O, I) with
+    transpose_kernel=True — the gradient-of-conv convention, which is
+    exactly torch ConvTranspose2d's semantics (weight (I, O, kH, kW) maps
+    via transpose(2, 3, 1, 0); verified numerically vs torch). The BN+act
+    live in the PARENT scope so param paths mirror the reference's
+    upsample.{transposed_conv, bn} siblings for checkpoint import.
     """
+
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (3, 3, self.out_features, x.shape[-1]),
+            jnp.float32,
+        )
+        # torch output size: (H-1)*s - 2p + k + op = 2H with k=3,s=2,p=1,op=1.
+        return jax.lax.conv_transpose(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=(2, 2),
+            padding=((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        )
+
+
+class TransposedConvUpsample(nn.Module):
+    """ConvTranspose(c -> c//4) + BN + act (TransposedConvUpsampleModel,
+    base.py:80-117)."""
 
     in_features: int
     bn_momentum: float = 0.1
@@ -121,21 +150,8 @@ class TransposedConvUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        out_feat = self.in_features // 4
-        kernel = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (3, 3, x.shape[-1], out_feat),
-            jnp.float32,
-        )
-        # torch output size: (H-1)*s - 2p + k + op = 2H with k=3,s=2,p=1,op=1.
-        y = jax.lax.conv_transpose(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            strides=(2, 2),
-            padding=((1, 2), (1, 2)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = TransposedConvKernel(self.in_features // 4, self.dtype,
+                                 name="transposed_conv")(x)
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,
@@ -179,7 +195,12 @@ class Upsampler(nn.Module):
         if self.method == "pixelshuffle":
             return pixel_shuffle(x, 2)
         if self.method == "convtranspose":
-            return TransposedConvUpsample(
-                self.in_features, self.bn_momentum, self.leaky_relu,
-                self.dtype, name="tconv")(x, train)
+            # flat sub-module names so param paths mirror the reference's
+            # upsample.{transposed_conv, bn} for checkpoint import
+            y = TransposedConvKernel(self.in_features // 4, self.dtype,
+                                     name="transposed_conv")(x)
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=1.0 - self.bn_momentum, epsilon=1e-5,
+                             dtype=self.dtype, name="bn")(y)
+            return act_fn(y, self.leaky_relu)
         raise NotImplementedError(f"upscale method {self.method}")

@@ -65,7 +65,7 @@ class UpscaleHead(nn.Module):
         x = nn.Conv(self.c2, (3, 3), padding="SAME", use_bias=True,
                     dtype=self.dtype, name="convB")(x)
         x = Upsampler(self.c2, self.upscale_method, self.bn_momentum,
-                      self.leaky_relu, self.dtype, name="upsample")(x, train)
+                      self.leaky_relu, self.dtype, name="upsample1")(x, train)
         x = jnp.concatenate([x, skip], axis=-1)
         x = ConvBNAct(self.c4, name="convAa", **kw)(x, train)
         return nn.Conv(self.c5, (3, 3), padding="SAME", use_bias=True,

@@ -128,3 +128,20 @@ def test_parity_v3_depth():
 
 def test_parity_v2_f_downsample3():
     _compare("F", v3=False)
+
+
+def test_parity_v2_mcu_convtranspose():
+    """MCU config (convtranspose upsampling + plain ReLU,
+    kp2dtiny.py:271-274) must also import with exact output parity."""
+    tmodel, jmodel, variables, cfg = _build_pair("N", v3=False, to_mcu=True)
+    rs = np.random.RandomState(3)
+    x = rs.rand(1, 64, 96, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jout = jmodel.apply(variables, jnp.asarray(x), False)
+    np.testing.assert_allclose(
+        np.asarray(jout["feat"]),
+        tout["feat"].numpy().transpose(0, 2, 3, 1), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(jout["seg"]),
+        tout["seg"].numpy().transpose(0, 2, 3, 1), atol=2e-3)
