@@ -54,10 +54,22 @@ def main():
     from nanovs_slam_tpu.utils.logging import print_table
 
     H, W = args.im_h, args.im_w
-    v3 = args.model_type in ("KP2DtinyV3", "DF")
-    cfg = get_config(args.config, v3=v3, n_classes=args.n_classes,
-                     dtype="bfloat16" if args.bf16 else "float32")
-    model = build_model(cfg)
+    if args.model_type == "KeypointFormer":
+        import dataclasses
+
+        from nanovs_slam_tpu.models.keypoint_former import (
+            KEYPOINTFORMER_CONFIGS, KeypointFormer)
+
+        kf = args.config if args.config in KEYPOINTFORMER_CONFIGS else "tiny"
+        cfg = dataclasses.replace(
+            KEYPOINTFORMER_CONFIGS[kf], n_classes=args.n_classes,
+            dtype="bfloat16" if args.bf16 else "float32")
+        model = KeypointFormer(cfg)
+    else:
+        v3 = args.model_type in ("KP2DtinyV3", "DF")
+        cfg = get_config(args.config, v3=v3, n_classes=args.n_classes,
+                         dtype="bfloat16" if args.bf16 else "float32")
+        model = build_model(cfg)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0),
                                      (1, H, W, 3))
     if args.model_path:

@@ -37,7 +37,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train KP2DTiny multitask")
     p.add_argument("--config", default="S", help="model config name")
     p.add_argument("--model_type", default="KP2DtinyV2",
-                   choices=["KP2DtinyV2", "KP2DtinyV3", "DD", "DF"])
+                   choices=["KP2DtinyV2", "KP2DtinyV3", "DD", "DF",
+                            "KeypointFormer"])
     p.add_argument("--dataset_name", default="cocostuff",
                    choices=["cocostuff", "cityscapes", "synthetic"])
     p.add_argument("--dataset_config", default="datasets.json")
@@ -130,11 +131,26 @@ def main():
                                                   save_checkpoint)
     from nanovs_slam_tpu.utils.logging import MetricLogger
 
-    v3 = args.model_type in ("KP2DtinyV3", "DF")
-    cfg = get_config(args.config, v3=v3, n_classes=train_config["n_classes"],
-                     to_mcu=args.to_mcu, depth=args.depth,
-                     dtype="bfloat16" if args.bf16 else "float32")
-    model = build_model(cfg)
+    if args.model_type == "KeypointFormer":
+        import dataclasses
+
+        from nanovs_slam_tpu.models.keypoint_former import (
+            KEYPOINTFORMER_CONFIGS, KeypointFormer)
+
+        kf_name = args.config if args.config in KEYPOINTFORMER_CONFIGS \
+            else "tiny"
+        cfg = dataclasses.replace(
+            KEYPOINTFORMER_CONFIGS[kf_name],
+            n_classes=train_config["n_classes"],
+            dtype="bfloat16" if args.bf16 else "float32")
+        model = KeypointFormer(cfg)
+    else:
+        v3 = args.model_type in ("KP2DtinyV3", "DF")
+        cfg = get_config(args.config, v3=v3,
+                         n_classes=train_config["n_classes"],
+                         to_mcu=args.to_mcu, depth=args.depth,
+                         dtype="bfloat16" if args.bf16 else "float32")
+        model = build_model(cfg)
 
     train_flags = {"keypoints": True, "segmentation": True, "visloc": True,
                    "depth": args.depth}
@@ -184,8 +200,9 @@ def main():
                               qat=args.qat)
 
     config_blob = {"input_args": vars(args), "train_config": train_config,
-                   "size": size, "model_config": cfg.name,
-                   "variant": cfg.variant, "loss_weights_schedule":
+                   "size": size, "model_config": getattr(cfg, "name", args.config),
+                   "variant": getattr(cfg, "variant", args.model_type),
+                   "loss_weights_schedule":
                    args.loss_schedule}
     logger = MetricLogger(use_wandb=args.wandb, config=config_blob)
 
