@@ -18,7 +18,7 @@ NCHW) and a `train` flag that switches BatchNorm stats and dropout.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

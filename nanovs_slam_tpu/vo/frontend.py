@@ -16,14 +16,13 @@ pose estimation.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs import KP2DTinyConfig
-from ..models.kp2dtiny import build_model
 from ..ops.grid_sample import grid_sample_nearest
 from ..ops.postprocess import post_process, top_k_keypoints
 
