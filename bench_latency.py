@@ -67,18 +67,33 @@ def main():
         "descriptors1": data0["descriptors"],
         "mask0": data0["mask"], "mask1": data0["mask"]})["params"]
 
-    float(pipeline(variables, lg_params, img0, img1))  # compile + warm
+    # dependency-chained on-device timing (async-dispatch-safe; see bench.py)
+    n = 20 if on_tpu else 2
+
+    @jax.jit
+    def chained(i0, i1):
+        def step(carry, _):
+            return pipeline(variables, lg_params, i0 + carry * 1e-20,
+                            i1), None
+        s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+        return s
+
+    float(chained(img0, img1))  # compile + warm
+    t0 = time.perf_counter()
+    float(chained(img0, img1))
+    per = (time.perf_counter() - t0) / n
+
+    # host-in-the-loop p50/p95 (includes dispatch/fetch)
     timer = StepTimer()
-    n = 30 if on_tpu else 5
     for _ in range(n):
         with timer.measure("extract_match"):
             float(pipeline(variables, lg_params, img0, img1))
     stats = timer.stats()["extract_match"]
     print(json.dumps({
         "metric": "kp_extract_plus_lightglue_match_latency",
-        "p50_ms": round(stats["p50_ms"], 3),
-        "p95_ms": round(stats["p95_ms"], 3),
-        "note": "includes host round-trip on tunneled backends",
+        "device_ms_per_frame_pair": round(per * 1e3, 3),
+        "host_loop_p50_ms": round(stats["p50_ms"], 3),
+        "host_loop_p95_ms": round(stats["p95_ms"], 3),
     }))
 
 
