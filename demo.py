@@ -31,6 +31,9 @@ def parse_args():
     p.add_argument("--top_k", type=int, default=1000)
     p.add_argument("--conf", type=float, default=0.7)
     p.add_argument("--out_dir", default="demo_out")
+    p.add_argument("--video_out", default=None,
+                   help="write an mp4 of keypoint+seg overlays instead of "
+                        "PNGs (reference demo writes mp4s)")
     p.add_argument("--max_frames", type=int, default=50)
     return p.parse_args()
 
@@ -63,7 +66,8 @@ def main():
 
     fe = KP2DTinyFrontend(model, cfg,
                           {"params": params, "batch_stats": batch_stats},
-                          (H, W), nn_thresh=args.conf, top_k=args.top_k)
+                          (H, W), nn_thresh=args.conf, top_k=args.top_k,
+                          with_seg=True)
 
     if os.path.isdir(args.input):
         frames = sorted(glob.glob(os.path.join(args.input, "*")))
@@ -82,6 +86,7 @@ def main():
         reader = iter([cv2.imread(args.input)])
 
     os.makedirs(args.out_dir, exist_ok=True)
+    writer = None
     for i, frame in enumerate(reader):
         if frame is None or i >= args.max_frames:
             break
@@ -97,9 +102,20 @@ def main():
         seg_vis = cv2.resize(seg_vis, (W, H),
                              interpolation=cv2.INTER_NEAREST)
         combined = np.vstack([vis, seg_vis])
-        out_path = os.path.join(args.out_dir, f"frame_{i:04d}.png")
-        cv2.imwrite(out_path, combined)
-        print(f"{out_path}: {len(pts)} keypoints")
+        if args.video_out:
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    args.video_out, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                    (combined.shape[1], combined.shape[0]))
+            writer.write(combined)
+            print(f"frame {i}: {len(pts)} keypoints")
+        else:
+            out_path = os.path.join(args.out_dir, f"frame_{i:04d}.png")
+            cv2.imwrite(out_path, combined)
+            print(f"{out_path}: {len(pts)} keypoints")
+    if writer is not None:
+        writer.release()
+        print(f"video written to {args.video_out}")
     print("done")
 
 

@@ -68,6 +68,7 @@ def top_k_keypoints(score: Array, coord: Array, feat: Array, k: int,
     next-best cells, callers must respect the mask).
     """
     B, Hc, Wc, _ = score.shape
+    k = min(k, Hc * Wc)  # more cells requested than exist: clamp
     s = score.reshape(B, Hc * Wc)
     c = coord.reshape(B, Hc * Wc, 2)
     f = feat.reshape(B, Hc * Wc, -1)

@@ -31,7 +31,10 @@ class KP2DTinyFrontend:
     def __init__(self, model, cfg: KP2DTinyConfig, variables,
                  new_size: Tuple[int, int], nn_thresh: float = 0.7,
                  top_k: int = 4000, semantic_filter: bool = False,
-                 classes_to_filter: Sequence[int] = (21,)):
+                 classes_to_filter: Sequence[int] = (21,),
+                 with_seg: bool = False):
+        """with_seg forces the segmentation head on even without the
+        semantic filter (e.g. for visualization)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -40,6 +43,7 @@ class KP2DTinyFrontend:
         self.top_k = top_k
         self.semantic_filter = semantic_filter
         self.classes_to_filter = tuple(classes_to_filter)
+        self.with_seg = with_seg
         self._infer = self._build()
 
     def _build(self):
@@ -47,7 +51,8 @@ class KP2DTinyFrontend:
         # head gating: without the semantic filter, seg (and vlad) are not
         # needed — skipping them removes ~40% of the model FLOPs
         need_seg = self.semantic_filter and len(self.classes_to_filter) > 0
-        heads = (("score", "loc", "desc", "seg") if need_seg
+        heads = (("score", "loc", "desc", "seg")
+                 if (need_seg or self.with_seg)
                  else ("score", "loc", "desc"))
 
         @jax.jit
