@@ -216,7 +216,11 @@ def main():
             weights = weights._replace(vlad_loss=0.0)
         epoch_rng = jax.random.fold_in(rng, epoch)
         losses = []
-        for i, batch in enumerate(loader):
+        from nanovs_slam_tpu.data.prefetch import device_prefetch
+
+        # 2-deep prefetch: host-side augmentation + homography sampling for
+        # batch t+1 overlaps the device step for batch t
+        for i, batch in enumerate(device_prefetch(iter(loader), size=2)):
             if i >= steps_per_epoch:
                 break
             batch = shard_batch(mesh, batch)
