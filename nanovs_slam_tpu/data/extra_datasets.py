@@ -5,9 +5,11 @@ Behavioral contract:
   rgb/ + seg{13,40}/ + depth/ folder layout; depth float images; used for
   the experimental depth head.
 - SceneParse150 (src/data/scene_parse_150.py): ADE20K-style images +
-  annotations with the 150 -> 7 super-class remap
-  (scene_parse_mapping.py:3-182; the 7-class grouping table is data from
-  the reference).
+  annotations with the 150 -> 8 super-class remap (None/Person/Vehicles/
+  Architecture/Furniture/Nature/Dynamic Stuff/Static Stuff); the full
+  150-entry grouping table is data from the reference
+  (scene_parse_mapping.py:3-182) and is asserted equal to it in
+  tests/test_extra_datasets.py.
 - Tokyo 24/7 / TokyoTM (src/data/tokyo247.py): NetVLAD dbStruct .mat like
   Pittsburgh — reuses data/pittsburgh.py parsing (same format), fixing the
   reference's hardcoded-root bug (tokyo247.py:14-18) by taking the root
@@ -22,28 +24,51 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-# ADE20K 150 classes -> 7 super classes (0 stays unlabeled/ignore-ish).
-# Grouping follows the reference scene_parse_mapping.py: structure(1),
-# nature(2), sky(3), person(4), vehicle(5), object(6), ground(7).
+# ADE20K/SceneParse150 annotation ids (1-based; 0 = unlabeled) -> 8 super
+# classes. This is DATA copied from the reference's table
+# (src/data/scene_parse_mapping.py:3-182, class_to_index :158-167): every one
+# of the 150 ids is explicitly assigned; there is no catch-all bucket.
+SCENE_PARSE_CLASSES = ("None", "Person", "Vehicles", "Architecture",
+                       "Furniture", "Nature", "Dynamic Stuff", "Static Stuff")
 _SCENE_PARSE_GROUPS: Dict[int, Tuple[int, ...]] = {
-    1: (0, 1, 3, 5, 8, 14, 18, 22, 24, 27, 30, 33, 42, 48, 52, 58, 63,
-        78, 85, 94),
-    2: (4, 9, 17, 29, 34, 46, 60, 66, 72),
-    3: (2,),
-    4: (12,),
-    5: (20, 80, 83, 90, 102, 103, 116, 127),
-    7: (6, 11, 13, 26, 28, 46, 54, 59, 96, 101),
+    # Person
+    1: (13,),
+    # Vehicles
+    2: (21, 77, 81, 84, 91, 103, 104, 117, 128),
+    # Architecture
+    3: (1, 2, 4, 6, 7, 9, 12, 15, 26, 33, 39, 43, 49, 53, 54, 55, 59, 60,
+        62, 80, 92, 96, 122, 141),
+    # Furniture
+    4: (8, 11, 16, 19, 20, 24, 25, 28, 29, 31, 32, 34, 36, 37, 38, 40, 45,
+        46, 48, 50, 51, 57, 58, 63, 64, 65, 66, 70, 71, 72, 74, 76, 86, 98,
+        111, 118, 119, 134, 135, 136, 140, 146, 147, 148),
+    # Nature
+    5: (3, 5, 10, 14, 17, 18, 22, 27, 30, 35, 47, 61, 67, 69, 73, 95, 114,
+        126, 129),
+    # Dynamic Stuff
+    6: (75, 79, 82, 90, 93, 97, 99, 106, 108, 109, 110, 112, 113, 115, 116,
+        120, 121, 125, 127, 130, 132),
+    # Static Stuff
+    7: (23, 41, 42, 44, 52, 56, 68, 78, 83, 85, 87, 88, 89, 94, 100, 101,
+        102, 105, 107, 123, 124, 131, 133, 137, 138, 139, 142, 143, 144,
+        145, 149, 150),
 }
 
 
 def scene_parse_lut() -> np.ndarray:
-    """151-entry LUT (ADE20K annotation ids 0..150, 0 = unlabeled):
-    everything not in a group -> class 6 ('object')."""
-    lut = np.full(256, 6, np.uint8)
-    lut[0] = 0
+    """256-entry LUT indexed by raw annotation id (only 0..150 occur).
+
+    Matches reference get_mapping() (scene_parse_mapping.py:170-182):
+    id 0 ("None") -> 0, every id 1..150 -> its super class; each id appears
+    in exactly one group (asserted)."""
+    lut = np.zeros(256, np.uint8)
+    seen = set()
     for cls, ids in _SCENE_PARSE_GROUPS.items():
         for i in ids:
-            lut[i + 1] = cls  # annotations are 1-indexed classes
+            assert i not in seen, f"duplicate scene-parse id {i}"
+            seen.add(i)
+            lut[i] = cls
+    assert len(seen) == 150, f"expected 150 mapped ids, got {len(seen)}"
     return lut
 
 
@@ -83,7 +108,7 @@ class NYUv2Dataset:
 
 
 class SceneParse150Dataset:
-    """ADE20K/SceneParse150 images/ + annotations/ with 150->7 remap."""
+    """ADE20K/SceneParse150 images/ + annotations/ with the 150->8 remap."""
 
     def __init__(self, root: str, size: Tuple[int, int],
                  split: str = "training"):

@@ -121,3 +121,21 @@ def homography_warp_image(img: Array, homography: Array,
 def warp_image_batch(img: Array, homography: Array,
                      mode: str = "nearest") -> Array:
     return homography_warp_image(img, homography, mode)
+
+
+def homography_to_pixel(H_norm: np.ndarray,
+                        shape: Tuple[int, int]) -> np.ndarray:
+    """Normalized sampling homography -> pixel point-transfer matrix.
+
+    `homography_warp_image` uses image_aug(p) = image(H_norm @ p) in
+    normalized align-corners coords, so a keypoint at pixel x in `image`
+    lands at x' = (Ninv @ H_norm @ N)^-1 @ x in `image_aug`. The returned
+    matrix is that point transfer — the HPatches H_1_N convention the
+    evaluators expect (evaluation/detector.py warp_keypoints)."""
+    h, w = shape
+    N = np.array([[2.0 / (w - 1), 0.0, -1.0],
+                  [0.0, 2.0 / (h - 1), -1.0],
+                  [0.0, 0.0, 1.0]], np.float64)
+    H_pix_sampling = np.linalg.inv(N) @ np.asarray(H_norm, np.float64) @ N
+    H = np.linalg.inv(H_pix_sampling)
+    return (H / H[2, 2]).astype(np.float32)

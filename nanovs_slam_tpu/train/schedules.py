@@ -105,4 +105,56 @@ def make_lr_schedule(name: str, lr: float, steps_per_epoch: int,
                         if hasattr(step, "astype") else step / spe, T0)
             return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t / T0))
         return sched
+    if name == "plateau":
+        # Not a step schedule: the driver holds a PlateauController and
+        # lowers the injected LR between epochs (train_multitask.py main).
+        return lambda step: lr
     raise NotImplementedError(name)
+
+
+class PlateauController:
+    """ReduceLROnPlateau analog (reference train_multitask.py:386-388:
+    mode="max", factor=0.1, patience=5).
+
+    Quirk note: the reference steps its plateau scheduler per-iteration
+    with the FRACTIONAL EPOCH as the metric (train_multitask.py:521-522),
+    which under mode="max" monotonically increases, so its LR never
+    actually drops. We implement the intended semantics instead: feed a
+    validation metric (or -train_loss) once per epoch."""
+
+    def __init__(self, lr: float, mode: str = "max", factor: float = 0.1,
+                 patience: int = 5, min_lr: float = 0.0,
+                 threshold: float = 1e-4):
+        assert mode in ("max", "min")
+        self.lr = float(lr)
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.threshold = threshold
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def _improved(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold) \
+                if self.best >= 0 else metric > self.best * (1.0 - self.threshold)
+        return metric < self.best * (1.0 - self.threshold) \
+            if self.best >= 0 else metric < self.best * (1.0 + self.threshold)
+
+    def step(self, metric: float) -> float:
+        """Record an epoch metric; returns the (possibly reduced) LR."""
+        metric = float(metric)
+        if math.isnan(metric):
+            self.bad_epochs += 1
+        elif self._improved(metric):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.bad_epochs = 0
+        return self.lr

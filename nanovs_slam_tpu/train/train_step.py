@@ -156,36 +156,60 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
 
 def make_optimizer(name: str = "adam", lr=3e-4, weight_decay: float = 1e-5,
                    grad_clip: float = 1.0, schedule=None,
-                   freeze_backbone: bool = False
+                   freeze_backbone: bool = False, plateau: bool = False
                    ) -> optax.GradientTransformation:
     """Optimizer factory matching train_multitask.py:371-396 options
     (adam | adamw | sgd). Gradients are clipped BY VALUE at 1.0 like the
     reference's clip_grad_value_ (:516). freeze_backbone zeroes backbone
-    grads (reference freeze_backbone, kp2dtiny.py:499-502)."""
-    lr_schedule = schedule if schedule is not None else lr
-    if name == "adam":
-        opt = optax.adam(lr_schedule)
-    elif name == "adamw":
-        opt = optax.adamw(lr_schedule, weight_decay=weight_decay)
-    elif name == "sgd":
-        opt = optax.sgd(lr_schedule, momentum=0.9)
-    else:
-        raise ValueError(name)
-    # zero_nans: a rare numerical blowup (e.g. a degenerate homography)
-    # must not poison the whole run — torch's norm subgradient conventions
-    # give the reference similar de-facto protection
-    parts = [optax.zero_nans(), optax.clip(grad_clip), opt]
-    if freeze_backbone:
-        def mask_fn(tree):
-            def walk(node, frozen):
-                if isinstance(node, dict) or hasattr(node, "items"):
-                    return {k: walk(v, frozen or k == "backbone")
-                            for k, v in node.items()}
-                return not frozen
-            return walk(tree, False)
-        parts.append(optax.masked(
-            optax.set_to_zero(), mask_fn_to_inverse(mask_fn)))
-    return optax.chain(*parts)
+    grads (reference freeze_backbone, kp2dtiny.py:499-502).
+
+    plateau=True makes the learning rate a runtime hyperparameter
+    (optax.inject_hyperparams) so a host-side plateau controller can lower
+    it between epochs without recompiling (reference ReduceLROnPlateau,
+    train_multitask.py:386-388); mutate with set_learning_rate()."""
+
+    def build(learning_rate) -> optax.GradientTransformation:
+        if name == "adam":
+            opt = optax.adam(learning_rate)
+        elif name == "adamw":
+            opt = optax.adamw(learning_rate, weight_decay=weight_decay)
+        elif name == "sgd":
+            opt = optax.sgd(learning_rate, momentum=0.9)
+        else:
+            raise ValueError(name)
+        # zero_nans: a rare numerical blowup (e.g. a degenerate homography)
+        # must not poison the whole run — torch's norm subgradient
+        # conventions give the reference similar de-facto protection
+        parts = [optax.zero_nans(), optax.clip(grad_clip), opt]
+        if freeze_backbone:
+            def mask_fn(tree):
+                def walk(node, frozen):
+                    if isinstance(node, dict) or hasattr(node, "items"):
+                        return {k: walk(v, frozen or k == "backbone")
+                                for k, v in node.items()}
+                    return not frozen
+                return walk(tree, False)
+            parts.append(optax.masked(
+                optax.set_to_zero(), mask_fn_to_inverse(mask_fn)))
+        return optax.chain(*parts)
+
+    if plateau:
+        return optax.inject_hyperparams(build)(learning_rate=float(lr))
+    return build(schedule if schedule is not None else lr)
+
+
+def set_learning_rate(state: "TrainState", lr: float) -> "TrainState":
+    """Replace the injected learning_rate in a plateau optimizer's state."""
+    opt_state = state.opt_state
+    if not hasattr(opt_state, "hyperparams"):
+        raise ValueError("optimizer was not built with plateau=True")
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hp))
+
+
+def get_learning_rate(state: "TrainState") -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
 
 
 def mask_fn_to_inverse(mask_fn):

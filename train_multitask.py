@@ -69,6 +69,14 @@ def parse_args():
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--max_eval_items", type=int, default=16,
+                   help="val items per task per epoch eval")
+    p.add_argument("--full_eval", type=int, default=3,
+                   help="full keypoint/VPR/VO evaluation every n epochs "
+                        "(reference train_multitask.py:275)")
+    p.add_argument("--lr_scheduler", default=None,
+                   choices=["none", "step", "cosine", "plateau"],
+                   help="override the dataset config's LR scheduler")
     p.add_argument("--no_eval", action="store_true")
     return p.parse_args()
 
@@ -110,6 +118,8 @@ def main():
         train_config["lr"] = args.lr
     if args.n_epochs is not None:
         train_config["n_epochs"] = args.n_epochs
+    if args.lr_scheduler is not None:
+        train_config["lr_scheduler"] = args.lr_scheduler
     if args.freeze_backbone:
         train_config["freeze_backbone"] = True
     size = (train_config["im_h"], train_config["im_w"])
@@ -171,11 +181,21 @@ def main():
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
 
-    lr_sched = make_lr_schedule(train_config["lr_scheduler"],
-                                train_config["lr"], steps_per_epoch,
-                                train_config["n_epochs"])
-    tx = make_optimizer(train_config["optimizer"], schedule=lr_sched,
-                        freeze_backbone=train_config["freeze_backbone"])
+    plateau_ctl = None
+    if train_config["lr_scheduler"] == "plateau":
+        from nanovs_slam_tpu.train.schedules import PlateauController
+
+        plateau_ctl = PlateauController(train_config["lr"], mode="max",
+                                        factor=0.1, patience=5)
+        tx = make_optimizer(train_config["optimizer"], lr=train_config["lr"],
+                            freeze_backbone=train_config["freeze_backbone"],
+                            plateau=True)
+    else:
+        lr_sched = make_lr_schedule(train_config["lr_scheduler"],
+                                    train_config["lr"], steps_per_epoch,
+                                    train_config["n_epochs"])
+        tx = make_optimizer(train_config["optimizer"], schedule=lr_sched,
+                            freeze_backbone=train_config["freeze_backbone"])
     rng = jax.random.PRNGKey(args.seed)
     state, io_net = create_train_state(model, cfg, rng, (1, H, W, 3), tx,
                                        with_io=train_flags["keypoints"],
@@ -236,9 +256,29 @@ def main():
                       f"vlad {m.get('vlad_loss', 0):.4f}")
 
         if not args.no_eval and (epoch + 1) % args.eval_every == 0:
-            results = evaluate(model, cfg, state, dataset_val, size, args)
-            logger.log_dict("val/", results, step=int(state.step))
-            print(f"E{epoch} val: {results}")
+            results = evaluate_model(model, cfg, state, dataset_val, size,
+                                     args, train_flags, epoch)
+            flat = {f"{task}/{k}": v for task, r in results.items()
+                    if isinstance(r, dict) for k, v in r.items()
+                    if isinstance(v, (int, float))}
+            logger.log_dict("val/", flat, step=int(state.step))
+            print(f"E{epoch} val: {json.dumps(results, default=str)}")
+
+        if plateau_ctl is not None:
+            from nanovs_slam_tpu.train.train_step import (get_learning_rate,
+                                                          set_learning_rate)
+
+            import math
+
+            metric = plateau_metric(results, losses)
+            new_lr = plateau_ctl.step(metric)
+            if not math.isclose(new_lr, get_learning_rate(state),
+                                rel_tol=1e-5):
+                print(f"E{epoch} plateau: metric {metric:.4f} stalled, "
+                      f"lr -> {new_lr:.2e}")
+                state = set_learning_rate(state, new_lr)
+            logger.log_dict("scheduler/", {"lr": new_lr},
+                            step=int(state.step))
 
         save_checkpoint(args.out_model_path, state,
                         config=config_blob, epoch=epoch + 1,
@@ -247,33 +287,166 @@ def main():
           f"final loss {losses[-1] if losses else float('nan')}")
 
 
-def evaluate(model, cfg, state, dataset_val, size, args):
-    """Per-epoch validation: segmentation metrics on the val split
-    (full HPatches/Pittsburgh/KITTI evals live in eval_multitask.py)."""
+def plateau_metric(results, losses) -> float:
+    """Quality metric for the plateau controller (mode=max): val seg IoU,
+    else keypoint repeatability, else -mean train loss."""
+    seg = results.get("segmentation", {}) if results else {}
+    if isinstance(seg, dict) and isinstance(seg.get("IoU"), (int, float)):
+        return float(seg["IoU"])
+    kp = results.get("keypoints", {}) if results else {}
+    if isinstance(kp, dict) and isinstance(kp.get("repeatability"),
+                                           (int, float)):
+        return float(kp["repeatability"])
+    return -float(np.mean(losses)) if losses else float("nan")
+
+
+def evaluate_model(model, cfg, state, dataset_val, size, args, train_flags,
+                   epoch):
+    """Per-epoch evaluation fan-out (reference evaluate_model,
+    train_multitask.py:701-751): segmentation (+depth) every eval epoch;
+    keypoints / VPR / VO every --full_eval epochs. Each task is guarded
+    (reference-style try/except) and falls back to synthetic
+    homography-pair data when the real dataset is absent; results land in
+    the checkpoint like the reference's `current_results` (:553-562)."""
+    import cv2
     import jax.numpy as jnp
 
-    from nanovs_slam_tpu.evaluation.segmentation import (
-        _reduce, iou_score, segmentation_stats)
+    from nanovs_slam_tpu.data.datasets import load_datasets_json
     from nanovs_slam_tpu.inference import make_infer_fn
 
     H, W = size
     infer = make_infer_fn(model, cfg, H, W)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    iou = 0.0
-    n = 0
-    for i in range(min(len(dataset_val), 8)):
-        item = dataset_val[i]
-        x = jnp.asarray(item["image"][None] * 2.0 - 1.0)
-        out = infer(variables, x)
-        pred = np.asarray(out["seg"])[..., 0]
-        import cv2
 
-        gt = cv2.resize(item["seg"], pred.shape[1:][::-1],
-                        interpolation=cv2.INTER_NEAREST)[None]
-        tp, fp, fn_, tn = segmentation_stats(pred, gt, cfg.n_classes)
-        iou += _reduce(iou_score, tp, fp, fn_, tn, "micro-imagewise")
-        n += 1
-    return {"seg_iou": iou / max(n, 1)}
+    def infer_np(images):
+        out = infer(variables, jnp.asarray(images, jnp.float32))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    n_val = min(len(dataset_val), args.max_eval_items)
+    results = {}
+
+    if train_flags.get("segmentation"):
+        from nanovs_slam_tpu.evaluation.segmentation import \
+            evaluate_segmentation
+
+        def seg_iter():
+            hs, ws = 2 * (H // cfg.cell), 2 * (W // cfg.cell)
+            for i in range(n_val):
+                item = dataset_val[i]
+                seg = cv2.resize(item["seg"], (ws, hs),
+                                 interpolation=cv2.INTER_NEAREST)
+                yield {"image": item["image"][None] * 2 - 1,
+                       "seg": seg[None]}
+
+        try:
+            results["segmentation"] = evaluate_segmentation(
+                seg_iter(), infer_np, cfg.n_classes)
+        except Exception as e:
+            results["segmentation"] = {"error": str(e)}
+
+    if train_flags.get("depth"):
+        from nanovs_slam_tpu.evaluation.depth import evaluate_depth
+
+        def depth_iter():
+            for i in range(n_val):
+                item = dataset_val[i]
+                if "depth" in item:
+                    yield {"image": item["image"][None] * 2 - 1,
+                           "depth": item["depth"][None]}
+
+        try:
+            results["depth"] = evaluate_depth(depth_iter(), infer_np)
+        except Exception as e:
+            results["depth"] = {"error": str(e)}
+
+    if (epoch + 1) % args.full_eval != 0:
+        return results
+
+    # --- full eval: keypoints (HPatches-format), VPR, VO ---
+    paths = load_datasets_json(args.dataset_config)
+
+    if train_flags.get("keypoints"):
+        from nanovs_slam_tpu.evaluation.keypoints import evaluate_keypoint_net
+
+        try:
+            root = paths.get("hpatches_data_path")
+            if root and os.path.isdir(root):
+                from nanovs_slam_tpu.data.hpatches import HPatchesDataset
+
+                items = list(HPatchesDataset(root, (W, H)))[:n_val]
+            else:
+                items = synthetic_homography_pairs(dataset_val, size, n_val)
+            results["keypoints"] = evaluate_keypoint_net(
+                items, infer_np, output_shape=(W, H), top_k=args.top_k)
+        except Exception as e:
+            results["keypoints"] = {"error": str(e)}
+
+    if train_flags.get("visloc"):
+        from nanovs_slam_tpu.evaluation.global_descriptor import \
+            evaluate_global_descriptor
+
+        try:
+            # DB = val images, queries = homography-warped copies,
+            # ground-truth positive of query i is db entry i (synthetic
+            # Pittsburgh-format retrieval when the real set is absent)
+            items = synthetic_homography_pairs(dataset_val, size, n_val)
+            db = np.stack([infer_np(it["image"])["vlad"][0]
+                           for it in items])
+            q = np.stack([infer_np(it["image_aug"])["vlad"][0]
+                          for it in items])
+            positives = [np.array([i]) for i in range(len(items))]
+            n_values = tuple(n for n in (1, 5, 10, 20)
+                             if n <= len(items)) or (1,)
+            results["visloc"] = evaluate_global_descriptor(
+                db, q, positives, n_values=n_values)
+        except Exception as e:
+            results["visloc"] = {"error": str(e)}
+
+    if train_flags.get("keypoints"):
+        kitti = paths.get("kitti_data_path")
+        if kitti and os.path.isdir(kitti):
+            from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+            from nanovs_slam_tpu.vo.visual_odometry import \
+                evaluate_visual_odometry
+
+            try:
+                fe = KP2DTinyFrontend(model, cfg, variables, (256, 1024),
+                                      top_k=4000)
+                results["vo"] = evaluate_visual_odometry(
+                    fe, kitti, "06.txt", "06.mp4", new_size=(256, 1024),
+                    max_frames=n_val)
+            except Exception as e:
+                results["vo"] = {"error": str(e)}
+        else:
+            results["vo"] = {"skipped": "kitti_data_path missing"}
+    return results
+
+
+def synthetic_homography_pairs(dataset, size, n_items):
+    """HPatches-format eval pairs from any image dataset: sample a random
+    homography per image, warp ON DEVICE with the training warper, and
+    return the PIXEL point-transfer matrix the evaluators expect."""
+    import jax.numpy as jnp
+
+    from nanovs_slam_tpu.data.homography import (homography_to_pixel,
+                                                 homography_warp_image,
+                                                 sample_homography)
+
+    H, W = size
+    items = []
+    for i in range(min(len(dataset), n_items)):
+        img = dataset[i]["image"]
+        rs = np.random.RandomState(1000 + i)
+        H_norm = sample_homography((H, W), rs)
+        warped = homography_warp_image(
+            jnp.asarray(img[None]), jnp.asarray(H_norm[None]),
+            mode="bilinear")
+        items.append({
+            "image": img[None] * 2.0 - 1.0,
+            "image_aug": np.asarray(warped) * 2.0 - 1.0,
+            "homography": homography_to_pixel(H_norm, (H, W)),
+        })
+    return items
 
 
 if __name__ == "__main__":
