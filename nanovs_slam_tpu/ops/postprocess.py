@@ -55,8 +55,8 @@ def post_process(out: Dict[str, Array], H: int, W: int, cell: int,
 
 
 def top_k_keypoints(score: Array, coord: Array, feat: Array, k: int,
-                    conf_threshold: float = 0.0,
-                    ) -> Tuple[Array, Array, Array, Array]:
+                    conf_threshold: float = 0.0, with_indices: bool = False,
+                    ):
     """Fixed-shape top-K keypoint selection.
 
     Replaces the reference's host-side boolean filtering + np.argpartition
@@ -76,4 +76,6 @@ def top_k_keypoints(score: Array, coord: Array, feat: Array, k: int,
     kp = jnp.take_along_axis(c, idx[..., None], axis=1)
     ds = jnp.take_along_axis(f, idx[..., None], axis=1)
     valid = top_s > conf_threshold
+    if with_indices:
+        return kp, top_s, ds, valid, idx
     return kp, top_s, ds, valid

@@ -65,7 +65,7 @@ class KP2DTinyFrontend:
             feat = post["feat"].astype(jnp.float32)
             B, Hc, Wc, _ = score.shape
 
-            if need_seg:
+            if need_seg or self.with_seg:
                 seg_map = post["seg"]  # (B, Hs, Ws, 1) argmax classes
                 # sample seg class at keypoint coords (nearest,
                 # kp2dtiny.py:633-637 with sample_segmentation=True)
@@ -74,25 +74,35 @@ class KP2DTinyFrontend:
                 seg_at_kp = grid_sample_nearest(
                     seg_map.astype(jnp.float32),
                     jnp.stack([gx, gy], axis=-1))[..., 0]
-                bad = jnp.zeros(seg_at_kp.shape, bool)
-                for c in self.classes_to_filter:
-                    bad = bad | (seg_at_kp == c)
-                score = jnp.where(bad[..., None], 0.0, score)
+                if need_seg:
+                    bad = jnp.zeros(seg_at_kp.shape, bool)
+                    for c in self.classes_to_filter:
+                        bad = bad | (seg_at_kp == c)
+                    score = jnp.where(bad[..., None], 0.0, score)
             else:
                 seg_at_kp = jnp.zeros((B, Hc, Wc), jnp.float32)
 
-            kp, s, d, valid = top_k_keypoints(score, coord, feat, self.top_k,
-                                              self.nn_thresh)
-            return kp, s, d, valid, seg_at_kp.reshape(B, Hc * Wc), post
+            kp, s, d, valid, idx = top_k_keypoints(
+                score, coord, feat, self.top_k, self.nn_thresh,
+                with_indices=True)
+            # per-keypoint class, aligned with the top-k selection
+            kp_class = jnp.take_along_axis(
+                seg_at_kp.reshape(B, Hc * Wc), idx, axis=1).astype(jnp.int32)
+            return kp, s, d, valid, kp_class, post
 
         return infer
 
     def run(self, img01: np.ndarray):
         """img01: (H, W, 3) float in [0, 1] at self.new_size.
-        Returns (pts (N,2), feat (N,C), seg (N,)) trimmed to valid slots."""
+        Returns (pts (N,2), feat (N,C), out dict) trimmed to valid slots;
+        out["kp_class"] is the per-keypoint segmentation class (N,) when the
+        seg head runs (semantic_filter or with_seg), used by the semantic
+        VO matcher (reference visual_odometry.py:347-380)."""
         x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
-        kp, s, d, valid, seg_flat, post = self._infer(self.variables, x)
+        kp, s, d, valid, kp_class, post = self._infer(self.variables, x)
         kp, s, d = np.asarray(kp[0]), np.asarray(s[0]), np.asarray(d[0])
         valid = np.asarray(valid[0])
         out = {k: np.asarray(v) for k, v in post.items()}
+        if self.semantic_filter or self.with_seg:
+            out["kp_class"] = np.asarray(kp_class[0])[valid]
         return kp[valid], d[valid], out

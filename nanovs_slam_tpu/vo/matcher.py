@@ -43,27 +43,7 @@ def ratio_test_match_one_to_one(desc_query: np.ndarray,
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.float32))
     idx, dist = knn2(desc_query, desc_train)
-    keep = dist[:, 0] <= ratio_test * dist[:, 1]
-
-    idx1, idx2, score = [], [], []
-    best_for_train = {}
-    index_match = {}
-    for q in np.nonzero(keep)[0]:
-        t = int(idx[q, 0])
-        d = float(dist[q, 0])
-        if t not in best_for_train:
-            best_for_train[t] = d
-            idx1.append(int(q))
-            idx2.append(t)
-            index_match[t] = len(idx2) - 1
-            score.append(d)
-        elif d < best_for_train[t]:
-            best_for_train[t] = d
-            pos = index_match[t]
-            idx1[pos] = int(q)
-            score[pos] = d
-    return (np.asarray(idx1, np.int64), np.asarray(idx2, np.int64),
-            np.asarray(score, np.float32))
+    return ratio_one_to_one_from_knn(idx, dist, ratio_test)
 
 
 def match_keypoints(kps_prev, feat_prev, kps_cur, feat_cur,
@@ -92,6 +72,103 @@ def match_keypoints(kps_prev, feat_prev, kps_cur, feat_cur,
         top = np.argpartition(score, top_k_matches)[:top_k_matches]
         kps0, kps1 = kps0[top], kps1[top]
     return kps0, kps1
+
+
+def flann_knn2(desc_query: np.ndarray, desc_train: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Approximate k=2 NN via cv2 FLANN (KD-tree, trees=4, checks=32 —
+    reference FlannFeatureMatcher NORM_L2 params, feature_matcher.py:276-281).
+    Returns (indices (N,2), distances (N,2)) like knn2."""
+    import cv2
+
+    FLANN_INDEX_KDTREE = 1
+    matcher = cv2.FlannBasedMatcher(
+        dict(algorithm=FLANN_INDEX_KDTREE, trees=4), dict(checks=32))
+    matches = matcher.knnMatch(np.ascontiguousarray(desc_query, np.float32),
+                               np.ascontiguousarray(desc_train, np.float32),
+                               k=2)
+    n = len(matches)
+    idx = np.zeros((n, 2), np.int64)
+    dist = np.full((n, 2), np.inf, np.float32)
+    for q, pair in enumerate(matches):
+        for j, m in enumerate(pair[:2]):
+            idx[q, j] = m.trainIdx
+            dist[q, j] = m.distance
+    return idx, dist
+
+
+def ratio_one_to_one_from_knn(idx: np.ndarray, dist: np.ndarray,
+                              ratio_test: float = K_RATIO_TEST):
+    """The ratio + one-to-one tail of ratio_test_match_one_to_one, applied
+    to precomputed k=2 neighbors (shared by the exact and FLANN paths)."""
+    keep = dist[:, 0] <= ratio_test * dist[:, 1]
+    idx1, idx2, score = [], [], []
+    best_for_train = {}
+    index_match = {}
+    for q in np.nonzero(keep)[0]:
+        t = int(idx[q, 0])
+        d = float(dist[q, 0])
+        if t not in best_for_train:
+            best_for_train[t] = d
+            idx1.append(int(q))
+            idx2.append(t)
+            index_match[t] = len(idx2) - 1
+            score.append(d)
+        elif d < best_for_train[t]:
+            best_for_train[t] = d
+            pos = index_match[t]
+            idx1[pos] = int(q)
+            score[pos] = d
+    return (np.asarray(idx1, np.int64), np.asarray(idx2, np.int64),
+            np.asarray(score, np.float32))
+
+
+def match_keypoints_flann(kps_prev, feat_prev, kps_cur, feat_cur,
+                          top_k_matches: int = 1000,
+                          ratio_test: float = K_RATIO_TEST):
+    """FLANN-approximate variant of match_keypoints (reference
+    FlannFeatureMatcher, feature_matcher.py:253-282). Same ratio +
+    one-to-one tail; NN search is approximate KD-tree."""
+    if len(feat_prev) < 2 or len(feat_cur) < 2:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    idx, dist = flann_knn2(np.asarray(feat_prev), np.asarray(feat_cur))
+    idxs0, idxs1, score = ratio_one_to_one_from_knn(idx, dist, ratio_test)
+    kps0 = np.asarray(kps_prev)[idxs0, :]
+    kps1 = np.asarray(kps_cur)[idxs1, :]
+    if len(score) > top_k_matches > 0:
+        top = np.argpartition(score, top_k_matches)[:top_k_matches]
+        kps0, kps1 = kps0[top], kps1[top]
+    return kps0, kps1
+
+
+def match_crosscheck_fundamental(kps_prev, feat_prev, kps_cur, feat_cur,
+                                 ratio_test: float = K_RATIO_TEST,
+                                 err_thld: float = 1.0):
+    """Cross-check + ratio test + fundamental-matrix model fit (reference
+    matchWithCrossCheckAndModelFit, feature_matcher.py:109-174): mutual-NN
+    matches filtered by a USAC_MSAC fundamental-matrix inlier mask.
+    Returns (kps0, kps1) inliers only."""
+    import cv2
+
+    if len(feat_prev) < 8 or len(feat_cur) < 8:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    idx12, dist12 = knn2(np.asarray(feat_prev), np.asarray(feat_cur))
+    idx21, _ = knn2(np.asarray(feat_cur), np.asarray(feat_prev))
+    q = np.arange(len(idx12))
+    cross = idx21[idx12[:, 0], 0] == q
+    ratio = dist12[:, 0] <= ratio_test * dist12[:, 1]
+    keep = cross & ratio
+    if np.count_nonzero(keep) < 8:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    kps0 = np.asarray(kps_prev)[keep]
+    kps1 = np.asarray(kps_cur)[idx12[keep, 0]]
+    method = getattr(cv2, "USAC_MSAC", cv2.RANSAC)
+    _, mask = cv2.findFundamentalMat(kps0, kps1, method, err_thld,
+                                     confidence=0.999)
+    if mask is None:
+        return kps0, kps1
+    inl = mask.ravel().astype(bool)
+    return kps0[inl], kps1[inl]
 
 
 def match_semantic(kps_prev, feat_prev, seg_prev, kps_cur, feat_cur,

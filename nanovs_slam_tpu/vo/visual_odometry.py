@@ -20,9 +20,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
+import time
+
 from .camera import PinholeCamera
 from .groundtruth import KittiVideoGroundTruth
-from .matcher import match_keypoints
+from .matcher import (match_crosscheck_fundamental, match_keypoints,
+                      match_keypoints_flann, match_semantic)
 from .pose import (calculate_error_stats, calculate_relative_error,
                    estimate_pose)
 
@@ -47,31 +50,75 @@ class VisualOdometryStats:
 
 
 class VisualOdometry:
+    """Matcher modes (reference visual_odometry.py:72-97 `matcher` conf +
+    feature_matcher.py variants): "bf" (exact GEMM kNN + ratio + 1-to-1),
+    "flann" (approximate KD-tree kNN, same tail), "crosscheck" (mutual NN +
+    fundamental model fit), "semantic" (per-seg-class BF matching; needs a
+    frontend built with with_seg/semantic_filter so kp_class is produced),
+    "lightglue" (on-device transformer matcher).
+
+    LoFTR mode (reference visual_odometry.py:134-136,296-310) is
+    deliberately absent: it requires kornia's pretrained LoFTR, which is
+    not installable here (no egress); its role — dense learned matching —
+    is covered by the LightGlue path."""
+
+    MATCHERS = ("bf", "flann", "crosscheck", "semantic", "lightglue")
+
     def __init__(self, frontend, cam: PinholeCamera,
                  matcher: str = "bf", lightglue=None,
-                 top_k_matches: int = 1000, ratio_test: float = 0.7):
+                 top_k_matches: int = 1000, ratio_test: float = 0.7,
+                 n_classes: int = 28):
+        if matcher not in self.MATCHERS:
+            raise ValueError(f"matcher must be one of {self.MATCHERS}")
         self.frontend = frontend
         self.cam = cam
         self.matcher = matcher
         self.lightglue = lightglue  # (model, params, size) tuple or None
         self.top_k_matches = top_k_matches
         self.ratio_test = ratio_test
+        self.n_classes = n_classes
 
         self.cur_R = np.eye(3)
         self.cur_t = np.zeros((3, 1))
         self.kps_prev = None
         self.feat_prev = None
+        self.seg_prev = None
         self.stats = VisualOdometryStats()
         self.estimation_fails = 0
         self.trajectory = []
 
+    def _extract(self, img01):
+        """Timed frontend run (reference timing_decorator on inference,
+        visual_odometry.py:14-23,188)."""
+        t0 = time.perf_counter()
+        kps, feat, out = self.frontend.run(img01)
+        self.stats.network_inference_timing.append(time.perf_counter() - t0)
+        return kps, feat, out
+
     def init(self, img01: np.ndarray):
-        self.kps_prev, self.feat_prev, _ = self.frontend.run(img01)
+        self.kps_prev, self.feat_prev, out = self._extract(img01)
+        self.seg_prev = out.get("kp_class")
         self.trajectory.append(self.cur_t.copy())
 
-    def _match(self, kps, feat):
+    def _match(self, kps, feat, seg):
         if self.matcher == "lightglue" and self.lightglue is not None:
             return self._match_lightglue(kps, feat)
+        if self.matcher == "semantic":
+            if seg is None or self.seg_prev is None:
+                raise ValueError(
+                    "semantic matching needs per-keypoint classes; build "
+                    "the frontend with with_seg=True or semantic_filter")
+            return match_semantic(self.kps_prev, self.feat_prev,
+                                  self.seg_prev, kps, feat, seg,
+                                  self.n_classes, self.ratio_test)
+        if self.matcher == "flann":
+            return match_keypoints_flann(self.kps_prev, self.feat_prev,
+                                         kps, feat, self.top_k_matches,
+                                         self.ratio_test)
+        if self.matcher == "crosscheck":
+            return match_crosscheck_fundamental(self.kps_prev,
+                                                self.feat_prev, kps, feat,
+                                                self.ratio_test)
         return match_keypoints(self.kps_prev, self.feat_prev, kps, feat,
                                self.top_k_matches, self.ratio_test)
 
@@ -106,16 +153,21 @@ class VisualOdometry:
 
     def process_image(self, img01: np.ndarray, absolute_scale: float = 1.0):
         """Returns (R, t, n_matches); updates the integrated pose."""
-        kps, feat, _ = self.frontend.run(img01)
+        kps, feat, out = self._extract(img01)
+        seg = out.get("kp_class")
+        t0 = time.perf_counter()
         try:
-            m_kps0, m_kps1 = self._match(kps, feat)
+            m_kps0, m_kps1 = self._match(kps, feat, seg)
             R, t, mask_match, _ = estimate_pose(m_kps0, m_kps1, self.cam)
             n_inliers = int(np.count_nonzero(mask_match))
+        except ValueError:
+            raise  # configuration errors must surface
         except Exception:
             R, t = np.eye(3), np.zeros((3, 1))
             m_kps0 = np.zeros((0, 2))
             n_inliers = 0
             self.estimation_fails += 1
+        self.stats.pose_estimation_timing.append(time.perf_counter() - t0)
 
         self.stats.n_matches.append(len(m_kps0))
         self.stats.n_inliers.append(n_inliers)
@@ -124,14 +176,15 @@ class VisualOdometry:
         self.cur_R = self.cur_R.dot(R)
         self.trajectory.append(self.cur_t.copy())
 
-        self.kps_prev, self.feat_prev = kps, feat
+        self.kps_prev, self.feat_prev, self.seg_prev = kps, feat, seg
         return R, t, len(m_kps0)
 
 
 def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              video_name: str, new_size=None,
                              max_frames: Optional[int] = None,
-                             verbose: bool = False) -> Dict:
+                             verbose: bool = False,
+                             matcher: str = "bf") -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT."""
     import cv2
@@ -162,7 +215,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
             pts = pts * np.array([sx, sy])
             return pts, feat, out
 
-    vo = VisualOdometry(ScaledFrontend(), cam)
+    vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher)
     vo.init(prep(frame))
 
     i_frame = 1

@@ -128,3 +128,34 @@ def test_frontend_semantic_filter():
                             classes_to_filter=list(range(7)))
     pts_f, _, _ = fe_f.run(img)
     assert len(pts_f) == 0
+
+
+def test_frontend_kp_class_alignment():
+    """with_seg=True: per-keypoint classes come back aligned with the
+    selected keypoints (the semantic VO matcher's input)."""
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+
+    H, W = 64, 96
+    cfg = get_config("N", n_classes=7)
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    var = {"params": params, "batch_stats": bs}
+    img = np.random.RandomState(1).rand(H, W, 3).astype(np.float32)
+
+    fe = KP2DTinyFrontend(model, cfg, var, (H, W), nn_thresh=0.0, top_k=50,
+                          with_seg=True)
+    pts, feat, out = fe.run(img)
+    kp_class = out["kp_class"]
+    assert kp_class.shape == (len(pts),)
+    assert kp_class.min() >= 0 and kp_class.max() < 7
+    # the class at each keypoint equals the argmax seg map sampled at the
+    # keypoint's nearest seg-map pixel
+    seg_map = out["seg"][0, :, :, 0]
+    hs, ws = seg_map.shape
+    gx = np.clip(np.round(pts[:, 0] / (W - 1) * (ws - 1)), 0,
+                 ws - 1).astype(int)
+    gy = np.clip(np.round(pts[:, 1] / (H - 1) * (hs - 1)), 0,
+                 hs - 1).astype(int)
+    assert (kp_class == seg_map[gy, gx]).mean() > 0.9

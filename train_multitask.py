@@ -71,6 +71,8 @@ def parse_args():
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--max_eval_items", type=int, default=16,
                    help="val items per task per epoch eval")
+    p.add_argument("--synthetic_items", type=int, default=64,
+                   help="synthetic train set size (synthetic dataset only)")
     p.add_argument("--full_eval", type=int, default=3,
                    help="full keypoint/VPR/VO evaluation every n epochs "
                         "(reference train_multitask.py:275)")
@@ -103,8 +105,8 @@ def get_dataset(args, train_config, size):
             return (CityscapesDataset(root, size, "train"),
                     CityscapesDataset(root, size, "val"))
         print("WARNING: cityscapes_data_path missing; using synthetic")
-    return (SyntheticShapesDataset(size, 64, n_classes, seed=0,
-                                   with_depth=args.depth),
+    return (SyntheticShapesDataset(size, args.synthetic_items, n_classes,
+                                   seed=0, with_depth=args.depth),
             SyntheticShapesDataset(size, 16, n_classes, seed=1,
                                    with_depth=args.depth))
 

@@ -31,7 +31,9 @@ def parse_args():
     p.add_argument("--top_k", type=int, default=4000)
     p.add_argument("--nn_thresh", type=float, default=0.7,
                    help="keypoint confidence threshold (frontend.py:31)")
-    p.add_argument("--matcher", default="bf", choices=["bf", "lightglue"])
+    p.add_argument("--matcher", default="bf",
+                   choices=["bf", "flann", "crosscheck", "semantic",
+                            "lightglue"])
     p.add_argument("--semantic_filter", action="store_true")
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
     p.add_argument("--max_frames", type=int, default=None)
@@ -70,10 +72,12 @@ def main():
         model, cfg, {"params": params, "batch_stats": batch_stats},
         (H, W), nn_thresh=args.nn_thresh, top_k=args.top_k,
         semantic_filter=args.semantic_filter,
-        classes_to_filter=args.classes_to_filter)
+        classes_to_filter=args.classes_to_filter,
+        with_seg=args.matcher == "semantic")
     results = evaluate_visual_odometry(
         fe, args.kitti_path, args.gt_name, args.video_name,
-        new_size=(H, W), max_frames=args.max_frames, verbose=True)
+        new_size=(H, W), max_frames=args.max_frames, verbose=True,
+        matcher=args.matcher)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
