@@ -37,8 +37,12 @@ def parse_args():
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas postprocess kernel")
     p.add_argument("--int8", action="store_true",
-                   help="evaluate with int8 fake-quantized weights (PTQ, "
-                        "reference eval_multitask.py:169-194 analog)")
+                   help="REAL int8 inference: calibrate activation scales, "
+                        "then run every conv int8 on the MXU (reference "
+                        "eval_multitask.py:169-194 / quantize.py:59-70)")
+    p.add_argument("--int8_weight_only", action="store_true",
+                   help="weight-only fake-quant eval (rounding error only)")
+    p.add_argument("--calib_batches", type=int, default=8)
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--max_items", type=int, default=None)
     return p.parse_args()
@@ -81,12 +85,32 @@ def main():
                 load_torch_checkpoint
 
             params, batch_stats, _ = load_torch_checkpoint(args.model_path)
-    if args.int8:
+    if args.int8_weight_only:
         from nanovs_slam_tpu.quant import fake_quant_params
 
         params = fake_quant_params(params)
-        print("evaluating with int8 fake-quantized weights")
+        print("evaluating with int8 fake-quantized weights (weight-only)")
     variables = {"params": params, "batch_stats": batch_stats}
+
+    int8_scales = None
+    if args.int8:
+        from nanovs_slam_tpu.data.datasets import SyntheticShapesDataset
+        from nanovs_slam_tpu.quant import calibrate_conv_scales
+
+        calib = SyntheticShapesDataset((H, W), args.calib_batches,
+                                       args.n_classes, seed=3)
+        batches = [np.asarray(calib[i]["image"][None] * 2.0 - 1.0,
+                              np.float32) for i in range(len(calib))]
+
+        def apply_fn(v, batch, mutable):
+            import jax.numpy as jnp
+
+            return model.apply(v, jnp.asarray(batch), False,
+                               mutable=mutable)
+
+        int8_scales = calibrate_conv_scales(apply_fn, variables, batches,
+                                            max_batches=args.calib_batches)
+        print(f"int8 inference: {len(int8_scales)} convs calibrated")
     paths = load_datasets_json(args.dataset_config)
 
     results = {}
@@ -99,7 +123,7 @@ def main():
         if root and os.path.isdir(root):
             infer = make_infer_fn(model, cfg, H, W,
                                   use_pallas=True if args.use_pallas
-                                  else "auto")
+                                  else "auto", int8_scales=int8_scales)
 
             def infer_np(images):
                 out = infer(variables, images)
@@ -134,7 +158,8 @@ def main():
             ds = COCOStuffDataset(paths["coco_data_path"], (H, W), "val",
                                   args.n_classes)
         if ds is not None and len(ds) > 0:
-            infer = make_infer_fn(model, cfg, H, W)
+            infer = make_infer_fn(model, cfg, H, W,
+                                  int8_scales=int8_scales)
 
             def seg_iter():
                 n = min(len(ds), args.max_items or len(ds))
@@ -177,7 +202,8 @@ def main():
                 import jax.numpy as jnp
 
                 ds = WholeDataset(struct, root, (H, W))
-                infer = make_infer_fn(model, cfg, H, W)
+                infer = make_infer_fn(model, cfg, H, W,
+                                  int8_scales=int8_scales)
                 feats = []
                 for i in range(len(ds)):
                     out = infer(variables, jnp.asarray(ds[i][None]))

@@ -1,9 +1,11 @@
 """Secondary dataset loaders: NYUv2, SceneParse150/ADE20K, Tokyo 24/7.
 
 Behavioral contract:
-- NYUv2 (reference src/data/nyuv2.py:339-382 extracted-files variant):
-  rgb/ + seg{13,40}/ + depth/ folder layout; depth float images; used for
-  the experimental depth head.
+- NYUv2 (reference src/data/nyuv2.py:339-373 extracted-files variant +
+  get_nyuv2_transforms :12-75): image|depth|seg{13,40}/{train,test} PNG
+  layout, depth clamp(min,max)/max with fixed max_depth; the HF-hub
+  variant (nyuv2.py:301-338, `sayakpaul/nyu_depth_v2`) is intentionally
+  absent — no network egress in this environment.
 - SceneParse150 (src/data/scene_parse_150.py): ADE20K-style images +
   annotations with the 150 -> 8 super-class remap (None/Person/Vehicles/
   Architecture/Furniture/Nature/Dynamic Stuff/Static Stuff); the full
@@ -73,15 +75,38 @@ def scene_parse_lut() -> np.ndarray:
 
 
 class NYUv2Dataset:
-    """rgb/ + seg13/ (or seg40/) + depth/ folder layout."""
+    """NYUv2 extracted-files dataset (reference NYUv2Dataset_extracted,
+    nyuv2.py:339-373): image/{split}, depth/{split}, seg{13|40}/{split}
+    PNG folders; n_classes in (13, 40).
+
+    Value transforms mirror get_nyuv2_transforms (nyuv2.py:12-75):
+    - image resized bilinear, scaled to [0, 1] (the [-1,1] shift and
+      homography-pair generation happen in the shared device pipeline).
+    - seg resized NEAREST, raw class ids.
+    - depth resized NEAREST, then clamp(min_depth, max_depth)/max_depth
+      (nyuv2.py:70 — a FIXED max_depth of 5000 for the uint16 millimetre
+      PNGs, not per-image normalization).
+    """
 
     def __init__(self, root: str, size: Tuple[int, int],
-                 n_seg_classes: int = 13):
+                 n_seg_classes: int = 13, split: str = "train",
+                 max_depth: float = 5000.0, min_depth: float = 0.0):
+        assert n_seg_classes in (13, 40), n_seg_classes
+        assert split in ("train", "test"), split
         self.size = size
-        seg_dir = f"seg{n_seg_classes}"
-        self.rgb = sorted(glob.glob(os.path.join(root, "rgb", "*")))
-        self.seg = sorted(glob.glob(os.path.join(root, seg_dir, "*")))
-        self.depth = sorted(glob.glob(os.path.join(root, "depth", "*")))
+        self.max_depth = max_depth
+        self.min_depth = min_depth
+
+        def listing(kind):
+            p = os.path.join(root, kind, split)
+            if not os.path.isdir(p):  # flat layout fallback
+                p = os.path.join(root, kind)
+            return sorted(glob.glob(os.path.join(p, "*.png")) or
+                          glob.glob(os.path.join(p, "*")))
+
+        self.rgb = listing("image") or listing("rgb")
+        self.seg = listing(f"seg{n_seg_classes}")
+        self.depth = listing("depth")
 
     def __len__(self):
         return len(self.rgb)
@@ -101,9 +126,10 @@ class NYUv2Dataset:
             out["seg"] = np.zeros((H, W), np.uint8)
         if i < len(self.depth):
             d = cv2.imread(self.depth[i], cv2.IMREAD_UNCHANGED)
-            d = cv2.resize(d.astype(np.float32), (W, H))
-            d = d / max(float(d.max()), 1e-6)
-            out["depth"] = np.clip(d, 1e-3, 1.0)[..., None]
+            d = cv2.resize(d.astype(np.float32), (W, H),
+                           interpolation=cv2.INTER_NEAREST)
+            d = np.clip(d, self.min_depth, self.max_depth) / self.max_depth
+            out["depth"] = d[..., None].astype(np.float32)
         return out
 
 

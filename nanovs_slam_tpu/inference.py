@@ -27,7 +27,8 @@ def make_infer_fn(model, cfg: KP2DTinyConfig, H: int, W: int,
                   conf_threshold: float = 0.0,
                   with_seg: bool = True,
                   with_vlad: bool = True,
-                  use_pallas: Any = "auto"):
+                  use_pallas: Any = "auto",
+                  int8_scales: Optional[Dict[str, float]] = None):
     """Returns infer(variables, images) -> dict, fully jittable.
 
     images: (B, H, W, 3) in [-1, 1] (the reference normalizes (x-0.5)*2,
@@ -37,13 +38,25 @@ def make_infer_fn(model, cfg: KP2DTinyConfig, H: int, W: int,
     through the fused Pallas kernel (ops/pallas/postprocess_kernel.py)
     instead of the XLA gather ops — 1.65x faster end-to-end on TPU,
     identical outputs (golden-tested). "auto" = on TPU only.
+
+    int8_scales: calibrated per-conv input scales (quant.calibrate_conv_
+    scales) — every ConvBNAct conv executes int8 x int8 -> int32 on the
+    MXU (real quantized inference, reference quantize.py:59-70 analog).
     """
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
 
+    def _apply(variables, images):
+        if int8_scales is not None:
+            from . import quant
+
+            with quant.int8_execution(int8_scales):
+                return model.apply(variables, images, False)
+        return model.apply(variables, images, False)
+
     @jax.jit
     def infer(variables, images: Array) -> Dict[str, Array]:
-        out = model.apply(variables, images, False)
+        out = _apply(variables, images)
         if use_pallas:
             from .ops.pallas.postprocess_kernel import \
                 fused_postprocess_pallas

@@ -74,6 +74,12 @@ class ConvBNAct(nn.Module):
     """Conv(3x3, no bias) + BatchNorm + (Leaky)ReLU.
 
     Reference: AnnotatedConvBnReLUModel (src/kp2dtiny/modules/base.py:14-46).
+    The reference's quant/dequant stubs bound exactly these blocks
+    (base.py:36-46); their TPU analog is the int8 execution context
+    (quant.int8_execution): when active at trace time with a calibrated
+    input scale for this module's path, the conv runs int8 x int8 -> int32
+    on the MXU. Calibration sows the conv-input absmax into the
+    `intermediates` collection (zero cost unless requested).
     """
 
     features: int
@@ -85,24 +91,41 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
+        from .. import quant
+
+        padding = ("SAME" if self.kernel_size == 3 and self.stride == 1 else
+                   [(self.kernel_size // 2, self.kernel_size // 2)] * 2)
+        if self.is_mutable_collection("intermediates"):
+            self.sow("intermediates", "in_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.float32(0.0))
+        conv = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME" if self.kernel_size == 3 and self.stride == 1 else
-            [(self.kernel_size // 2, self.kernel_size // 2)] * 2,
+            padding=padding,
             use_bias=False,
             dtype=self.dtype,
             name="conv",
-        )(x)
-        x = nn.BatchNorm(
+        )
+        y = conv(x)
+        scale_in = quant.active_int8_scale("/".join(self.path)) \
+            if not train else None
+        if scale_in is not None:
+            kernel = self.get_variable("params", "conv")["kernel"]
+            # replaces the f32 conv result; XLA dead-code-eliminates the
+            # unused f32 conv above (its params must still be created)
+            y = quant.int8_conv(x, kernel, scale_in,
+                                (self.stride, self.stride), padding)
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,
             epsilon=1e-5,
             dtype=self.dtype,
             name="bn",
-        )(x)
-        return act_fn(x, self.leaky_relu)
+        )(y)
+        return act_fn(y, self.leaky_relu)
 
 
 class TransposedConvKernel(nn.Module):

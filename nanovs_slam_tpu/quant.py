@@ -5,28 +5,101 @@ quant/dequant stubs bounding every conv block (quantize.py:59-70,
 base.py:36-46, KeypointNetwithIOLoss.py:377-381). The TPU-native
 equivalent implemented here:
 
+- REAL int8 execution: `int8_execution(scales)` is a trace-time context
+  that makes every ConvBNAct run its conv as int8 x int8 -> int32 on the
+  MXU (activations quantized with calibrated per-conv input scales,
+  weights per-output-channel symmetric), rescaling to float before
+  BN+act. This is the analog of the reference's quantized graph, where
+  quant/dequant stubs bound each conv block (base.py:36-46).
+- calibrate_conv_scales: per-conv input absmax over calibration batches
+  via flax `intermediates` (the reference calibrates 100 batches,
+  quantize.py:7-15).
 - quantize_params_int8: per-output-channel symmetric int8 weight
   quantization of every conv/dense kernel, storing int8 values + f32
-  scales (deployment artifact; int8 halves/quarters HBM traffic and
-  feeds the MXU's int8 path).
+  scales (deployment artifact; int8 halves/quarters HBM traffic).
 - fake_quant_params: quantize->dequantize round trip producing f32
-  params that behave like the int8 deployment — used to evaluate
-  accuracy degradation exactly like the reference's PTQ eval path
-  (eval_multitask.py:169-194 quantize-before-eval).
-- calibrate_activation_scales: per-tensor absmax activation ranges over
-  calibration batches (the reference calibrates 100 batches,
-  quantize.py:7-15).
+  params that behave like int8 weight rounding — the weight-only
+  evaluation path (eval_multitask.py --int8 without calibration).
+- fake_quant_ste: QAT building block (straight-through estimator).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Tuple
+from contextlib import contextmanager
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Array = jnp.ndarray
+
+# --- real int8 execution -----------------------------------------------
+# Trace-time context: when active, ConvBNAct consults it and lowers its
+# conv as int8. The scales dict maps module paths ("backbone/conv1a") to
+# input activation scales (absmax/127 from calibration).
+_INT8_CTX: Dict[str, Optional[Dict[str, float]]] = {"scales": None}
+
+
+@contextmanager
+def int8_execution(scales: Dict[str, float]):
+    """Activate int8 conv execution during model tracing/apply."""
+    prev = _INT8_CTX["scales"]
+    _INT8_CTX["scales"] = dict(scales)
+    try:
+        yield
+    finally:
+        _INT8_CTX["scales"] = prev
+
+
+def active_int8_scale(path: str) -> Optional[float]:
+    scales = _INT8_CTX["scales"]
+    if scales is None:
+        return None
+    return scales.get(path)
+
+
+def int8_conv(x: Array, kernel: Array, scale_in: float,
+              strides=(1, 1), padding="SAME") -> Array:
+    """Quantized conv: round(x/s_x) int8  *  round(w/s_w) int8 -> int32,
+    rescaled to f32 by s_x * s_w (per output channel). The int8 x int8 ->
+    int32 contraction is the MXU's native high-throughput mode."""
+    x = x.astype(jnp.float32)
+    w = kernel.astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x / scale_in), -127, 127).astype(jnp.int8)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=tuple(strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (scale_in * s_w.reshape(1, 1, 1, -1))
+
+
+def calibrate_conv_scales(apply_fn: Callable, variables,
+                          batches: Iterable[Array],
+                          max_batches: int = 100) -> Dict[str, float]:
+    """Per-conv INPUT absmax scales via the `intermediates` collection
+    (ConvBNAct sows 'in_absmax'). apply_fn(variables, batch, mutable) must
+    forward `mutable` to model.apply and return (out, mutated_vars).
+    Returns {module_path: absmax/127}."""
+    maxima: Dict[str, float] = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if k == "in_absmax":
+                vals = v if isinstance(v, (tuple, list)) else (v,)
+                m = max(float(jnp.max(jnp.asarray(x))) for x in vals)
+                maxima[path] = max(maxima.get(path, 0.0), m)
+            elif hasattr(v, "items"):
+                walk(v, f"{path}/{k}" if path else k)
+
+    for i, batch in enumerate(batches):
+        if i >= max_batches:
+            break
+        _, mut = apply_fn(variables, batch, ["intermediates"])
+        walk(mut["intermediates"], "")
+    return {k: v / 127.0 for k, v in maxima.items()}
 
 
 def _quantize_kernel(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -41,6 +41,37 @@ def test_lut_matches_reference_table():
         assert SCENE_PARSE_CLASSES[idx] == name
 
 
+def test_nyuv2_depth_matches_reference_math(tmp_path):
+    """Depth values must be clamp(d, min, max)/max with FIXED max_depth
+    (reference nyuv2.py:70), not per-image normalization."""
+    import cv2
+
+    H, W = 24, 32
+    for kind in ("image", "depth", "seg13"):
+        (tmp_path / kind / "train").mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (H, W, 3), np.uint8)
+    depth_mm = rs.randint(0, 9000, (H, W)).astype(np.uint16)  # some > max
+    seg = rs.randint(0, 13, (H, W)).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "image" / "train" / "0.png"), img)
+    cv2.imwrite(str(tmp_path / "depth" / "train" / "0.png"), depth_mm)
+    cv2.imwrite(str(tmp_path / "seg13" / "train" / "0.png"), seg)
+
+    from nanovs_slam_tpu.data.extra_datasets import NYUv2Dataset
+
+    ds = NYUv2Dataset(str(tmp_path), (H, W), n_seg_classes=13,
+                      split="train", max_depth=5000.0)
+    assert len(ds) == 1
+    s = ds[0]
+    expected = np.clip(depth_mm.astype(np.float32), 0, 5000.0) / 5000.0
+    np.testing.assert_allclose(s["depth"][..., 0], expected, atol=1e-6)
+    assert s["depth"].max() <= 1.0 and s["depth"].min() >= 0.0
+    np.testing.assert_array_equal(s["seg"], seg)
+    # invalid class counts rejected like the reference assert
+    with pytest.raises(AssertionError):
+        NYUv2Dataset(str(tmp_path), (H, W), n_seg_classes=7)
+
+
 def test_scene_parse_dataset_applies_lut(tmp_path):
     import cv2
 
