@@ -80,7 +80,7 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
                     io_net: Optional[InlierNet] = None,
                     train_flags: Optional[Dict[str, bool]] = None,
                     io_top_k: int = 300, qat: bool = False,
-                    donate: bool = True):
+                    donate: bool = True, watch_gradients: bool = False):
     """Returns train_step(state, batch, weights, rng) -> (state, metrics).
 
     batch: image/image_aug (B,H,W,3) in [-1,1], seg/seg_aug (B,hs,ws) int32,
@@ -149,6 +149,12 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
         new_state = new_state.apply_gradients(grads)
         metrics = dict(loss_dict)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if watch_gradients:
+            # per-top-level-module gradient norms: the file-sink analog of
+            # the reference's wandb.watch(model, log="all")
+            # (train_multitask.py:629)
+            for mod, sub in grads["model"].items():
+                metrics[f"grad_norm/{mod}"] = optax.global_norm(sub)
         return new_state, metrics
 
     return train_step

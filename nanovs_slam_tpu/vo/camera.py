@@ -67,3 +67,46 @@ def kitti_params():
     """KITTI grayscale cam intrinsics used by the reference VO eval
     (evaluation/visual_odometry.py:66-71)."""
     return 718.856, 718.856, 607.1928, 185.2157
+
+
+class PinholeCameraDevice:
+    """Device-resident camera twin (reference PinholeCameraTorch,
+    src/visual_odometry/camera.py:158-253): batched project / unproject /
+    in-image tests as jittable jnp ops, for use inside compiled pipelines
+    (the host PinholeCamera above serves the cv2 tail). Distortion is not
+    modeled on device — the reference twin also delegates undistortion to
+    cv2 (:203-210), so distorted points must be undistorted host-side
+    first."""
+
+    def __init__(self, width, height, fx, fy, cx, cy):
+        import jax.numpy as jnp
+
+        self.width, self.height = width, height
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                           jnp.float32)
+        self.Kinv = jnp.array([[1 / fx, 0, -cx / fx],
+                               [0, 1 / fy, -cy / fy], [0, 0, 1]],
+                              jnp.float32)
+
+    def project(self, xcs):
+        """(..., N, 3) camera-frame points -> ((..., N, 2) pixels, depths)."""
+        import jax.numpy as jnp
+
+        projs = jnp.einsum("ij,...nj->...ni", self.K, xcs)
+        zs = projs[..., 2]
+        return projs[..., :2] / zs[..., None], zs
+
+    def unproject_points(self, uvs):
+        """(..., N, 2) pixels -> normalized image-plane coords."""
+        import jax.numpy as jnp
+
+        ones = jnp.ones(uvs.shape[:-1] + (1,), uvs.dtype)
+        homo = jnp.concatenate([uvs, ones], axis=-1)
+        return jnp.einsum("ij,...nj->...ni", self.Kinv, homo)[..., :2]
+
+    def are_in_image(self, uvs, zs):
+        """(camera.py:244-253) batched visibility mask."""
+        return ((uvs[..., 0] > 0) & (uvs[..., 0] < self.width)
+                & (uvs[..., 1] > 0) & (uvs[..., 1] < self.height)
+                & (zs > 0))

@@ -67,6 +67,9 @@ def parse_args():
     p.add_argument("--qat", action="store_true",
                    help="int8 fake-quant QAT (straight-through estimator)")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--watch_gradients", action="store_true",
+                   help="log per-module gradient norms (wandb.watch analog, "
+                        "reference train_multitask.py:629)")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--max_eval_items", type=int, default=16,
@@ -236,7 +239,8 @@ def main():
     state = replicate(mesh, state)
     step_fn = make_train_step(model, cfg, H, W, io_net=io_net,
                               train_flags=train_flags, io_top_k=args.top_k,
-                              qat=args.qat)
+                              qat=args.qat,
+                              watch_gradients=args.watch_gradients)
 
     config_blob = {"input_args": vars(args), "train_config": train_config,
                    "size": size, "model_config": getattr(cfg, "name", args.config),
@@ -385,14 +389,25 @@ def evaluate_model(model, cfg, state, dataset_val, size, args, train_flags,
         from nanovs_slam_tpu.evaluation.depth import evaluate_depth
 
         def depth_iter():
+            # GT depth downsampled (NEAREST) to the depth head's resolution
+            # H/d_f, like the reference transform_post_seg (nyuv2.py:30-36)
+            hs, ws = 2 * (H // cfg.cell), 2 * (W // cfg.cell)
             for i in range(n_val):
                 item = dataset_val[i]
                 if "depth" in item:
+                    d = cv2.resize(item["depth"], (ws, hs),
+                                   interpolation=cv2.INTER_NEAREST)
                     yield {"image": item["image"][None] * 2 - 1,
-                           "depth": item["depth"][None]}
+                           "depth": d[None, ..., None]}
 
         try:
             results["depth"] = evaluate_depth(depth_iter(), infer_np)
+            # file-sink analog of the reference's wandb depth-image logging
+            # (log_depth_examples, train_multitask.py:754-769); sibling dir
+            # because orbax replaces the checkpoint directory on save
+            save_depth_examples(dataset_val, infer_np,
+                                os.path.join(args.out_model_path + "_media",
+                                             f"depth_examples_e{epoch}.png"))
         except Exception as e:
             results["depth"] = {"error": str(e)}
 
@@ -467,6 +482,36 @@ def evaluate_model(model, cfg, state, dataset_val, size, args, train_flags,
         else:
             results["vo"] = {"skipped": "kitti_data_path missing"}
     return results
+
+
+def save_depth_examples(dataset_val, infer_np, path, n: int = 4):
+    """Grid of (input | predicted depth | GT depth) rows for the first n
+    val items (wandb.Image analog; reference train_multitask.py:754-769)."""
+    import cv2
+
+    rows = []
+    for i in range(min(n, len(dataset_val))):
+        item = dataset_val[i]
+        if "depth" not in item:
+            return
+        out = infer_np(item["image"][None] * 2.0 - 1.0)
+        pred = np.asarray(out["depth"])[0, ..., 0]
+        gt = item["depth"][..., 0]
+        H, W = item["image"].shape[:2]
+
+        def colorize(d):
+            d = (255 * (d - d.min()) / max(float(d.max() - d.min()), 1e-6))
+            d8 = cv2.resize(d.astype(np.uint8), (W, H),
+                            interpolation=cv2.INTER_NEAREST)
+            return cv2.applyColorMap(d8, cv2.COLORMAP_MAGMA)
+
+        img_u8 = cv2.cvtColor((item["image"] * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2BGR)
+        rows.append(np.concatenate([img_u8, colorize(pred), colorize(gt)],
+                                   axis=1))
+    if rows:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        cv2.imwrite(path, np.concatenate(rows, axis=0))
 
 
 def synthetic_homography_pairs(dataset, size, n_items):
