@@ -72,6 +72,7 @@ def main():
     else:
         v3 = args.model_type in ("KP2DtinyV3", "DF")
         cfg = get_config(args.config, v3=v3, n_classes=args.n_classes,
+                         depth=args.depth,
                          dtype="bfloat16" if args.bf16 else "float32")
         model = build_model(cfg)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0),
@@ -189,6 +190,44 @@ def main():
                 results["segmentation"] = {"error": str(e)}
         else:
             results["segmentation"] = {"error": "dataset missing"}
+
+    if args.depth:
+        from nanovs_slam_tpu.evaluation.depth import evaluate_depth
+        from nanovs_slam_tpu.data.extra_datasets import NYUv2Dataset
+
+        root = paths.get("nyuv2_data_path")
+        if root and os.path.isdir(root):
+            try:
+                import cv2
+                import jax.numpy as jnp
+
+                ds = NYUv2Dataset(root, (H, W), split="test")
+                infer = make_infer_fn(model, cfg, H, W,
+                                      int8_scales=int8_scales)
+
+                def infer_np(images):
+                    out = infer(variables, jnp.asarray(images, jnp.float32))
+                    return {k: np.asarray(v) for k, v in out.items()}
+
+                def depth_iter():
+                    hs, ws = 2 * (H // cfg.cell), 2 * (W // cfg.cell)
+                    n = min(len(ds), args.max_items or len(ds))
+                    for i in range(n):
+                        item = ds[i]
+                        if "depth" not in item:
+                            continue
+                        d = cv2.resize(item["depth"], (ws, hs),
+                                       interpolation=cv2.INTER_NEAREST)
+                        yield {"image": item["image"][None] * 2 - 1,
+                               "depth": d[None, ..., None]}
+
+                r = evaluate_depth(depth_iter(), infer_np)
+                results["depth"] = r
+                print_table(r, "depth")
+            except Exception as e:
+                results["depth"] = {"error": str(e)}
+        else:
+            results["depth"] = {"error": "nyuv2_data_path missing"}
 
     if args.visloc:
         from nanovs_slam_tpu.data.pittsburgh import WholeDataset
