@@ -3,15 +3,17 @@
 Behavioral contract:
 - NYUv2 (reference src/data/nyuv2.py:339-373 extracted-files variant +
   get_nyuv2_transforms :12-75): image|depth|seg{13,40}/{train,test} PNG
-  layout, depth clamp(min,max)/max with fixed max_depth; the HF-hub
-  variant (nyuv2.py:301-338, `sayakpaul/nyu_depth_v2`) is intentionally
-  absent — no network egress in this environment.
+  layout, depth clamp(min,max)/max with fixed max_depth. The HF-hub
+  variant (nyuv2.py:301-338, `sayakpaul/nyu_depth_v2`) is NYUv2HFDataset
+  below: load_from_disk cache first, hub download as fallback (requires
+  egress, absent in this environment — covered by in-memory-Dataset tests).
 - SceneParse150 (src/data/scene_parse_150.py): ADE20K-style images +
   annotations with the 150 -> 8 super-class remap (None/Person/Vehicles/
   Architecture/Furniture/Nature/Dynamic Stuff/Static Stuff); the full
   150-entry grouping table is data from the reference
   (scene_parse_mapping.py:3-182) and is asserted equal to it in
-  tests/test_extra_datasets.py.
+  tests/test_extra_datasets.py. The HF-hub variant (scene_parse_150.py:193,
+  `load_dataset("scene_parse_150")`) is SceneParse150HFDataset below.
 - Tokyo 24/7 / TokyoTM (src/data/tokyo247.py): NetVLAD dbStruct .mat like
   Pittsburgh — reuses data/pittsburgh.py parsing (same format), fixing the
   reference's hardcoded-root bug (tokyo247.py:14-18) by taking the root
@@ -162,6 +164,110 @@ class SceneParse150Dataset:
         seg = cv2.imread(self.masks[i], cv2.IMREAD_GRAYSCALE)
         seg = cv2.resize(seg, (W, H), interpolation=cv2.INTER_NEAREST)
         return {"image": img, "seg": self.lut[seg]}
+
+
+def _resolve_hf_dataset(source, hub_name: str, split: str):
+    """Reference caching protocol (nyuv2.py:309-326): a live
+    `datasets.Dataset` is used as-is (tests / pre-loaded), a directory
+    created by `save_to_disk` is loaded from disk, otherwise the hub
+    dataset is downloaded, saved to `<source>/<split>`, and reloaded."""
+    if not isinstance(source, (str, os.PathLike)):
+        return source  # already a datasets.Dataset
+    import datasets as hf_datasets
+
+    local = os.path.join(str(source), split)
+    if os.path.isdir(local):
+        return hf_datasets.load_from_disk(local)
+    ds = hf_datasets.load_dataset(hub_name, split=split,
+                                  cache_dir=os.path.join(str(source), "cache"))
+    ds.save_to_disk(local)
+    return hf_datasets.load_from_disk(local)
+
+
+def _to_float_image(img, size: Tuple[int, int]) -> np.ndarray:
+    """PIL image or HWC array -> float32 RGB HxWx3 in [0, 1], resized."""
+    import cv2
+
+    H, W = size
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, -1)
+    arr = cv2.resize(arr.astype(np.float32), (W, H))
+    if arr.max() > 1.5:  # uint8-scaled input
+        arr = arr / 255.0
+    return arr.astype(np.float32)
+
+
+class NYUv2HFDataset:
+    """HF-hub NYUv2 (reference NYUv2Dataset, nyuv2.py:301-338:
+    `sayakpaul/nyu_depth_v2`, splits train/validation, fields image +
+    depth_map). `source` is either the reference's save_to_disk directory
+    or a live `datasets.Dataset`. depth_map is renamed to depth
+    (nyuv2.py:336) and normalized clamp(min,max)/max like
+    get_nyuv2_transforms (nyuv2.py:70); the hub depth is float metres, so
+    the metre-scale default max_depth is 10.0."""
+
+    def __init__(self, source, size: Tuple[int, int], split: str = "train",
+                 max_depth: float = 10.0, min_depth: float = 0.0):
+        assert split in ("train", "validation"), split
+        self.dataset = _resolve_hf_dataset(source, "sayakpaul/nyu_depth_v2",
+                                           split)
+        self.size = size
+        self.max_depth = max_depth
+        self.min_depth = min_depth
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        H, W = self.size
+        sample = self.dataset[int(i)]
+        out = {"image": _to_float_image(sample["image"], self.size)}
+        d = np.asarray(sample["depth_map"], np.float32)
+        d = cv2.resize(d, (W, H), interpolation=cv2.INTER_NEAREST)
+        d = np.clip(d, self.min_depth, self.max_depth) / self.max_depth
+        out["depth"] = d[..., None].astype(np.float32)
+        if "annotation" in sample:  # hub NYUv2 has no seg; keep schema stable
+            seg = np.asarray(sample["annotation"], np.uint8)
+            out["seg"] = cv2.resize(seg, (W, H),
+                                    interpolation=cv2.INTER_NEAREST)
+        else:
+            out["seg"] = np.zeros((H, W), np.uint8)
+        return out
+
+
+class SceneParse150HFDataset:
+    """HF-hub SceneParse150 (reference scene_parse_150.py:183-259:
+    `load_dataset("scene_parse_150")`, fields image + annotation, splits
+    train/validation; n_classes 150 keeps raw ids, 7 applies the
+    get_mapping() LUT — the same 8-super-class table as the folder
+    variant; the reference's photometric/affine augmentation lives in the
+    shared device pipeline here, not in the loader)."""
+
+    def __init__(self, source, size: Tuple[int, int], split: str = "train",
+                 n_classes: int = 7):
+        assert split in ("train", "validation"), split
+        assert n_classes in (150, 7), n_classes
+        self.dataset = _resolve_hf_dataset(source, "scene_parse_150", split)
+        self.size = size
+        self.lut = scene_parse_lut() if n_classes == 7 else None
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        H, W = self.size
+        sample = self.dataset[int(i)]
+        img = _to_float_image(sample["image"], self.size)
+        seg = np.asarray(sample["annotation"], np.uint8)
+        seg = cv2.resize(seg, (W, H), interpolation=cv2.INTER_NEAREST)
+        if self.lut is not None:
+            seg = self.lut[seg]
+        return {"image": img, "seg": seg}
 
 
 def tokyo247_dataset(root: str, size: Tuple[int, int],

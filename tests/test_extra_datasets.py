@@ -94,3 +94,73 @@ def test_scene_parse_dataset_applies_lut(tmp_path):
     # id 13 (person) must land on class 1 wherever it appears unscaled
     lut = scene_parse_lut()
     np.testing.assert_array_equal(sample["seg"], lut[ann])
+
+
+def _hf_available():
+    try:
+        import datasets  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _hf_available(), reason="hf datasets not installed")
+def test_nyuv2_hf_variant(tmp_path):
+    """HF-hub NYUv2 loader (reference nyuv2.py:301-338): depth_map renamed
+    to depth, metre-scale clamp/max normalization; works from a live
+    datasets.Dataset and from an on-disk save_to_disk cache."""
+    import datasets as hf
+
+    H, W = 16, 24
+    rs = np.random.RandomState(0)
+    imgs = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(3)]
+    depths = [rs.rand(H, W).astype(np.float32) * 12.0 for _ in range(3)]
+    ds = hf.Dataset.from_dict({
+        "image": [i.tolist() for i in imgs],
+        "depth_map": [d.tolist() for d in depths],
+    })
+
+    from nanovs_slam_tpu.data.extra_datasets import NYUv2HFDataset
+
+    loader = NYUv2HFDataset(ds, (H, W), split="train", max_depth=10.0)
+    assert len(loader) == 3
+    s = loader[0]
+    assert s["image"].shape == (H, W, 3) and s["image"].dtype == np.float32
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+    expected = np.clip(depths[0], 0.0, 10.0) / 10.0
+    np.testing.assert_allclose(s["depth"][..., 0], expected, atol=1e-6)
+    assert s["seg"].shape == (H, W)  # schema stays stable without labels
+
+    # reference caching protocol: save_to_disk dir loads without the hub
+    ds.save_to_disk(str(tmp_path / "validation"))
+    loader2 = NYUv2HFDataset(str(tmp_path), (H, W), split="validation")
+    np.testing.assert_allclose(loader2[1]["depth"], loader[1]["depth"])
+
+    with pytest.raises(AssertionError):
+        NYUv2HFDataset(ds, (H, W), split="test")
+
+
+@pytest.mark.skipif(not _hf_available(), reason="hf datasets not installed")
+def test_scene_parse_hf_variant():
+    """HF-hub SceneParse150 loader (reference scene_parse_150.py:183-259):
+    n_classes=7 applies the 150->8 LUT, n_classes=150 keeps raw ids."""
+    import datasets as hf
+
+    H, W = 16, 24
+    rs = np.random.RandomState(1)
+    imgs = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(2)]
+    anns = [rs.randint(0, 151, (H, W)).astype(np.uint8) for _ in range(2)]
+    ds = hf.Dataset.from_dict({
+        "image": [i.tolist() for i in imgs],
+        "annotation": [a.tolist() for a in anns],
+    })
+
+    from nanovs_slam_tpu.data.extra_datasets import SceneParse150HFDataset
+
+    lut = scene_parse_lut()
+    mapped = SceneParse150HFDataset(ds, (H, W), n_classes=7)
+    np.testing.assert_array_equal(mapped[0]["seg"], lut[anns[0]])
+    raw = SceneParse150HFDataset(ds, (H, W), n_classes=150)
+    np.testing.assert_array_equal(raw[1]["seg"], anns[1])
+    with pytest.raises(AssertionError):
+        SceneParse150HFDataset(ds, (H, W), n_classes=28)
