@@ -35,6 +35,9 @@ def parse_args():
                    help="write an mp4 of keypoint+seg overlays instead of "
                         "PNGs (reference demo writes mp4s)")
     p.add_argument("--max_frames", type=int, default=50)
+    p.add_argument("--tracks", action="store_true",
+                   help="overlay frame-to-frame match tracks (reference "
+                        "drawFeatureTracks) instead of bare keypoints")
     return p.parse_args()
 
 
@@ -85,16 +88,34 @@ def main():
     else:
         reader = iter([cv2.imread(args.input)])
 
+    vo = None
+    if args.tracks:
+        from nanovs_slam_tpu.vo.camera import PinholeCamera
+        from nanovs_slam_tpu.vo.visual_odometry import VisualOdometry
+
+        # focal guess ~ W is fine for visualization-only tracks
+        vo = VisualOdometry(fe, PinholeCamera(W, H, W, W, W / 2, H / 2))
+
     os.makedirs(args.out_dir, exist_ok=True)
     writer = None
     for i, frame in enumerate(reader):
         if frame is None or i >= args.max_frames:
             break
         rgb = cv2.cvtColor(cv2.resize(frame, (W, H)), cv2.COLOR_BGR2RGB)
-        pts, desc, out = fe.run(rgb.astype(np.float32) / 255.0)
         vis = cv2.resize(frame, (W, H))
-        for x, y in pts.astype(int):
-            cv2.circle(vis, (x, y), 2, (0, 0, 255), -1)
+        if vo is not None:
+            if i == 0:
+                vo.init(rgb.astype(np.float32) / 255.0)
+                pts = vo.kps_prev
+            else:
+                vo.process_image(rgb.astype(np.float32) / 255.0)
+                pts = vo.kps_prev
+                vis = vo.draw_feature_tracks(vis)
+            out = {"seg": np.zeros((1, H, W, 1), np.uint8)}
+        else:
+            pts, desc, out = fe.run(rgb.astype(np.float32) / 255.0)
+            for x, y in pts.astype(int):
+                cv2.circle(vis, (x, y), 2, (0, 0, 255), -1)
         seg = np.asarray(out["seg"])[0, :, :, 0].astype(np.uint8)
         seg_vis = cv2.applyColorMap(
             (seg * (255 // max(args.n_classes - 1, 1))).astype(np.uint8),

@@ -86,6 +86,11 @@ class VisualOdometry:
         self.stats = VisualOdometryStats()
         self.estimation_fails = 0
         self.trajectory = []
+        # last matched pair + RANSAC inlier mask, for track drawing
+        # (reference kps0/kps1/mask_match, visual_odometry.py:316-318)
+        self.m_kps0 = np.zeros((0, 2))
+        self.m_kps1 = np.zeros((0, 2))
+        self.mask_match = np.zeros((0,), bool)
 
     def _extract(self, img01):
         """Timed frontend run (reference timing_decorator on inference,
@@ -160,13 +165,17 @@ class VisualOdometry:
             m_kps0, m_kps1 = self._match(kps, feat, seg)
             R, t, mask_match, _ = estimate_pose(m_kps0, m_kps1, self.cam)
             n_inliers = int(np.count_nonzero(mask_match))
+            self.mask_match = np.asarray(mask_match).reshape(-1) != 0
         except ValueError:
             raise  # configuration errors must surface
         except Exception:
             R, t = np.eye(3), np.zeros((3, 1))
             m_kps0 = np.zeros((0, 2))
+            m_kps1 = np.zeros((0, 2))
             n_inliers = 0
+            self.mask_match = np.zeros((0,), bool)
             self.estimation_fails += 1
+        self.m_kps0, self.m_kps1 = m_kps0, m_kps1
         self.stats.pose_estimation_timing.append(time.perf_counter() - t0)
 
         self.stats.n_matches.append(len(m_kps0))
@@ -178,6 +187,26 @@ class VisualOdometry:
 
         self.kps_prev, self.feat_prev, self.seg_prev = kps, feat, seg
         return R, t, len(m_kps0)
+
+    def draw_feature_tracks(self, img: np.ndarray,
+                            all_tracks: bool = False) -> np.ndarray:
+        """Overlay prev->cur match tracks (green lines, red endpoint dots)
+        on img; inliers only unless all_tracks (reference drawFeatureTracks
+        / drawAllFeatureTracks, visual_odometry.py:439-472)."""
+        import cv2
+
+        draw = (cv2.cvtColor(img, cv2.COLOR_GRAY2RGB) if img.ndim == 2
+                else img.copy())
+        n = len(self.m_kps0)
+        keep = (np.ones(n, bool) if all_tracks
+                else (self.mask_match[:n] if len(self.mask_match) >= n
+                      else np.zeros(n, bool)))
+        for p_cur, p_ref in zip(self.m_kps1[keep].astype(int),
+                                self.m_kps0[keep].astype(int)):
+            cv2.line(draw, tuple(p_cur[:2]), tuple(p_ref[:2]),
+                     (0, 255, 0), 1)
+            cv2.circle(draw, tuple(p_cur[:2]), 1, (0, 0, 255), -1)
+        return draw
 
 
 def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,

@@ -159,3 +159,27 @@ def test_frontend_kp_class_alignment():
     gy = np.clip(np.round(pts[:, 1] / (H - 1) * (hs - 1)), 0,
                  hs - 1).astype(int)
     assert (kp_class == seg_map[gy, gx]).mean() > 0.9
+
+
+def test_draw_feature_tracks_overlay():
+    """Inlier tracks drawn as lines/dots (reference drawFeatureTracks,
+    visual_odometry.py:439-472); all_tracks ignores the inlier mask."""
+    from nanovs_slam_tpu.vo.camera import PinholeCamera
+    from nanovs_slam_tpu.vo.visual_odometry import VisualOdometry
+
+    vo = VisualOdometry(None, PinholeCamera(64, 48, 64, 64, 32, 24))
+    vo.m_kps0 = np.array([[5.0, 5.0], [20.0, 10.0], [40.0, 30.0]])
+    vo.m_kps1 = np.array([[8.0, 6.0], [22.0, 12.0], [43.0, 33.0]])
+    vo.mask_match = np.array([True, False, True])
+
+    img = np.zeros((48, 64, 3), np.uint8)
+    inliers = vo.draw_feature_tracks(img)
+    assert inliers.shape == img.shape
+    assert (img == 0).all()  # input untouched
+    n_inlier_px = int((inliers != 0).any(-1).sum())
+    assert n_inlier_px > 0
+    everything = vo.draw_feature_tracks(img, all_tracks=True)
+    assert int((everything != 0).any(-1).sum()) > n_inlier_px
+    # grayscale input path
+    gray = vo.draw_feature_tracks(np.zeros((48, 64), np.uint8))
+    assert gray.shape == (48, 64, 3)
