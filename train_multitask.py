@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    # multi-host (TPU pod) bring-up; leave unset for single-host runs
+    p.add_argument("--coordinator_address", default=None,
+                   help="jax.distributed coordinator ip:port (pods only)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--n_epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=42069)
@@ -234,6 +239,11 @@ def main():
         print(f"Restored model from {args.model_path} "
               f"(epoch {meta.get('epoch')})")
 
+    # multi-host bring-up: no-op single-process, rendezvous on pods
+    from nanovs_slam_tpu.parallel.distributed import initialize
+    initialize(coordinator_address=args.coordinator_address,
+               num_processes=args.num_processes,
+               process_id=args.process_id)
     n_dev = args.num_devices or jax.device_count()
     mesh = make_mesh(n_dev)
     state = replicate(mesh, state)
