@@ -63,7 +63,7 @@ def main():
 
     n_iter = 10 if on_tpu else 2
     best_fps = 0.0
-    for B in ([64, 128] if on_tpu else [4]):
+    for B in ([64, 128, 256] if on_tpu else [4]):
         @jax.jit
         def chained(x):
             def step(carry, _):
