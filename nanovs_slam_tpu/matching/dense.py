@@ -1,0 +1,209 @@
+"""Detector-free dense matching (the reference's LoFTR mode, TPU-native).
+
+Behavioral contract (reference: src/visual_odometry/visual_odometry.py:
+134-136,296-310): a matching mode that takes a raw IMAGE PAIR — no
+keypoint detector — and returns {keypoints0, keypoints1, confidence},
+host-filtered at a confidence threshold, feeding straight into the
+essential-matrix pose tail. The reference delegates to kornia's
+pretrained LoFTR; that checkpoint is not installable here (no egress),
+so this module provides the same capability natively, built on the
+framework's own multitask features (LoFTR's published recipe: coarse
+dual-softmax mutual matching + fine local-correlation refinement).
+
+TPU-first design:
+- one jitted fixed-shape program per stage; the dense feature map of the
+  previous frame stays DEVICE-RESIDENT between frames (the reference
+  recomputes both frames' features every step — we only compute the new
+  frame).
+- the coarse all-pairs similarity is a single (N, N) matmul (N = Hc*Wc
+  cells) — exactly the MXU's shape of work; dual-softmax/mutual-argmax
+  are cheap VPU rowwise ops.
+- data-dependent "confidence > t" filtering is a fixed-K lax.top_k with
+  a validity mask (no recompiles), trimmed on host like every other
+  matcher in this framework.
+- fine refinement gathers a static (w, w) descriptor window per match
+  (vmapped dynamic_slice on a padded map) and soft-argmaxes the local
+  correlation — sub-cell accuracy without any data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import sample_descriptors
+
+Array = jnp.ndarray
+
+
+def _l2n(x: Array, axis: int = -1) -> Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True),
+                           1e-12)
+
+
+def coarse_match(d0: Array, d1: Array, temperature: float = 0.1,
+                 ) -> Tuple[Array, Array]:
+    """Dual-softmax mutual matching over flattened coarse descriptors.
+
+    d0, d1: (N, C) L2-normalized. Returns (j (N,) int32 best match in d1
+    for every cell of d0, conf (N,) float32 dual-softmax probability,
+    zeroed where the match is not mutual).
+    """
+    s = (d0 @ d1.T) / temperature  # (N, N) — one MXU matmul
+    p = jax.nn.softmax(s, axis=1) * jax.nn.softmax(s, axis=0)
+    j = jnp.argmax(p, axis=1)  # best column per row
+    i_back = jnp.argmax(p, axis=0)  # best row per column
+    mutual = jnp.take(i_back, j) == jnp.arange(d0.shape[0])
+    conf = jnp.take_along_axis(p, j[:, None], axis=1)[:, 0]
+    return j, jnp.where(mutual, conf, 0.0)
+
+
+def _gather_windows(fmap: Array, cy: Array, cx: Array, w: int) -> Array:
+    """fmap (H, W, C), integer centers cy/cx (K,) -> (K, w, w, C) windows
+    (zero padding outside the map)."""
+    r = w // 2
+    padded = jnp.pad(fmap, ((r, r), (r, r), (0, 0)))
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(
+            padded, (y, x, 0), (w, w, fmap.shape[-1]))
+
+    return jax.vmap(one)(cy, cx)  # centers already offset by +r via clip
+
+
+def fine_refine(f1: Array, d0c: Array, py: Array, px: Array, w: int,
+                temperature: float = 0.05) -> Tuple[Array, Array]:
+    """Soft-argmax local correlation refinement (LoFTR fine stage shape).
+
+    f1: (Hf, Wf, C) fine map of image1; d0c: (K, C) center descriptors of
+    image0; (py, px): (K,) float fine-grid coords of the coarse matches in
+    image1. Returns (dy, dx) float offsets in fine-grid units.
+    """
+    Hf, Wf, _ = f1.shape
+    r = w // 2
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, Hf - 1)
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, Wf - 1)
+    win = _gather_windows(f1, iy, ix, w)  # (K, w, w, C), centers at (r, r)
+    win = _l2n(win)
+    corr = jnp.einsum("kxyc,kc->kxy", win, _l2n(d0c)) / temperature
+    prob = jax.nn.softmax(corr.reshape(corr.shape[0], -1), axis=-1)
+    prob = prob.reshape(corr.shape)
+    offs = jnp.arange(w, dtype=jnp.float32) - r
+    dy = jnp.sum(prob * offs[None, :, None], axis=(1, 2))
+    dx = jnp.sum(prob * offs[None, None, :], axis=(1, 2))
+    # fold the rounding of the window center back into the offset
+    return dy + (iy - py), dx + (ix - px)
+
+
+class DenseMatcher:
+    """Detector-free image-pair matcher on the multitask model's dense
+    descriptor map (reference LoFTR-mode surface,
+    visual_odometry.py:296-310).
+
+    model/variables: any KP2DTiny-family model whose "desc" head produces
+    the dense half-cell-resolution descriptor map. size: (H, W) input
+    size. k: static match budget (lax.top_k). window: fine-correlation
+    window (odd). Confidence filtering happens on host in __call__.
+    """
+
+    def __init__(self, model, cfg, variables, size: Tuple[int, int],
+                 k: int = 512, window: int = 5,
+                 coarse_temperature: float = 0.1,
+                 fine_temperature: float = 0.05):
+        self.model = model
+        self.cfg = cfg
+        self.variables = variables
+        self.H, self.W = size
+        self.cell = cfg.cell
+        self.k = k
+        self.window = window
+        self.ct = coarse_temperature
+        self.ft = fine_temperature
+        self._extract = self._build_extract()
+        self._match = self._build_match()
+
+    # -- stage 1: dense feature map (device-resident between frames) -----
+    def _build_extract(self):
+        @jax.jit
+        def extract(variables, images):
+            out = self.model.apply(variables, images, False, False,
+                                   ("desc",))
+            return _l2n(out["feat"][0])  # (Hf, Wf, C)
+
+        return extract
+
+    def extract(self, img01: np.ndarray) -> Array:
+        """(H, W, 3) float [0,1] -> dense fine map, kept on device."""
+        x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
+        return self._extract(self.variables, x)
+
+    # -- stage 2: coarse dual-softmax + fine refinement ------------------
+    def _build_match(self):
+        H, W, cell, k, w = self.H, self.W, self.cell, self.k, self.window
+        ct, ft = self.ct, self.ft
+
+        @jax.jit
+        def match(f0, f1):
+            Hf, Wf, C = f0.shape
+            Hc, Wc = Hf // 2, Wf // 2
+            # coarse descriptors: 2x avg-pool of the fine map
+            def coarse(f):
+                c = f.reshape(Hc, 2, Wc, 2, C).mean(axis=(1, 3))
+                return _l2n(c).reshape(Hc * Wc, C)
+
+            j, conf = coarse_match(coarse(f0), coarse(f1), ct)
+
+            # drop border cells (reference border handling: the model's
+            # own border mask removes the outermost cell ring)
+            ii = jnp.arange(Hc * Wc) // Wc
+            jj = jnp.arange(Hc * Wc) % Wc
+            inner = ((ii > 0) & (ii < Hc - 1) & (jj > 0) & (jj < Wc - 1))
+            conf = jnp.where(inner, conf, 0.0)
+
+            top_conf, idx0 = jax.lax.top_k(conf, k)
+            idx1 = jnp.take(j, idx0)
+
+            # cell centers in image pixels (decode_coords convention)
+            step = (cell - 1) / 2.0
+            def to_xy(idx):
+                return jnp.stack(
+                    [(idx % Wc).astype(jnp.float32) * cell + step,
+                     (idx // Wc).astype(jnp.float32) * cell + step],
+                    axis=-1)
+
+            kp0 = to_xy(idx0)
+            kp1 = to_xy(idx1)
+
+            # fine refinement of kp1 on the fine grid (align-corners map).
+            # image0's anchor descriptor is sampled BILINEARLY at kp0's
+            # exact position — a rounded point sample would shift every
+            # refined match by the rounding residual (up to 1 image px).
+            rx, ry = (Wf - 1) / (W - 1), (Hf - 1) / (H - 1)
+            d0c = sample_descriptors(f0[None], kp0[None], H, W)[0]
+            dy, dx = fine_refine(f1, d0c, kp1[:, 1] * ry, kp1[:, 0] * rx,
+                                 w, ft)
+            kp1 = kp1 + jnp.stack([dx / rx, dy / ry], axis=-1)
+            kp1 = jnp.stack([jnp.clip(kp1[:, 0], 0.0, W - 1.0),
+                             jnp.clip(kp1[:, 1], 0.0, H - 1.0)], axis=-1)
+            return kp0, kp1, top_conf
+
+        return match
+
+    def match_maps(self, f0: Array, f1: Array):
+        """Device fine maps -> (kp0 (K,2), kp1 (K,2), conf (K,)) arrays."""
+        return self._match(f0, f1)
+
+    def __call__(self, img0: np.ndarray, img1: np.ndarray,
+                 conf_threshold: float = 0.2) -> Dict[str, np.ndarray]:
+        """LoFTR-surface pair matching: returns the reference's output
+        dict, filtered at conf_threshold (visual_odometry.py:305-309)."""
+        f0 = self.extract(img0)
+        f1 = self.extract(img1)
+        kp0, kp1, conf = self.match_maps(f0, f1)
+        kp0, kp1, conf = np.asarray(kp0), np.asarray(kp1), np.asarray(conf)
+        keep = conf > conf_threshold
+        return {"keypoints0": kp0[keep], "keypoints1": kp1[keep],
+                "confidence": conf[keep]}

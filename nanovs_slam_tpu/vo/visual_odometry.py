@@ -55,25 +55,34 @@ class VisualOdometry:
     "flann" (approximate KD-tree kNN, same tail), "crosscheck" (mutual NN +
     fundamental model fit), "semantic" (per-seg-class BF matching; needs a
     frontend built with with_seg/semantic_filter so kp_class is produced),
-    "lightglue" (on-device transformer matcher).
+    "lightglue" (on-device transformer matcher), "dense" (detector-free
+    image-pair matching — the reference's LoFTR mode,
+    visual_odometry.py:134-136,296-310, rebuilt natively on the model's
+    own dense descriptor map since kornia's pretrained LoFTR is not
+    installable here; see matching/dense.py). In dense mode the keypoint
+    frontend is bypassed entirely and the previous frame's dense feature
+    map stays device-resident."""
 
-    LoFTR mode (reference visual_odometry.py:134-136,296-310) is
-    deliberately absent: it requires kornia's pretrained LoFTR, which is
-    not installable here (no egress); its role — dense learned matching —
-    is covered by the LightGlue path."""
-
-    MATCHERS = ("bf", "flann", "crosscheck", "semantic", "lightglue")
+    MATCHERS = ("bf", "flann", "crosscheck", "semantic", "lightglue",
+                "dense")
+    DENSE_MIN_MATCHES = 50
 
     def __init__(self, frontend, cam: PinholeCamera,
-                 matcher: str = "bf", lightglue=None,
+                 matcher: str = "bf", lightglue=None, dense=None,
                  top_k_matches: int = 1000, ratio_test: float = 0.7,
-                 n_classes: int = 28):
+                 n_classes: int = 28, dense_conf: float = 0.2):
         if matcher not in self.MATCHERS:
             raise ValueError(f"matcher must be one of {self.MATCHERS}")
+        if matcher == "dense" and dense is None:
+            raise ValueError("matcher='dense' needs a DenseMatcher "
+                             "(matching/dense.py) via dense=")
         self.frontend = frontend
         self.cam = cam
         self.matcher = matcher
         self.lightglue = lightglue  # (model, params, size) tuple or None
+        self.dense = dense  # DenseMatcher or None
+        self.dense_conf = dense_conf
+        self.fmap_prev = None  # device-resident dense map (dense mode)
         self.top_k_matches = top_k_matches
         self.ratio_test = ratio_test
         self.n_classes = n_classes
@@ -101,9 +110,36 @@ class VisualOdometry:
         return kps, feat, out
 
     def init(self, img01: np.ndarray):
-        self.kps_prev, self.feat_prev, out = self._extract(img01)
-        self.seg_prev = out.get("kp_class")
+        if self.matcher == "dense":
+            t0 = time.perf_counter()
+            self.fmap_prev = self.dense.extract(img01)
+            self.stats.network_inference_timing.append(
+                time.perf_counter() - t0)
+        else:
+            self.kps_prev, self.feat_prev, out = self._extract(img01)
+            self.seg_prev = out.get("kp_class")
         self.trajectory.append(self.cur_t.copy())
+
+    def _match_dense(self, img01: np.ndarray):
+        """Detector-free pair matching (reference LoFTR branch,
+        visual_odometry.py:296-310): extract the new frame's dense map,
+        match against the device-resident previous map, filter by
+        confidence on host."""
+        t0 = time.perf_counter()
+        fmap = self.dense.extract(img01)
+        self.stats.network_inference_timing.append(time.perf_counter() - t0)
+        kp0, kp1, conf = self.dense.match_maps(self.fmap_prev, fmap)
+        kp0, kp1, conf = np.asarray(kp0), np.asarray(kp1), np.asarray(conf)
+        keep = conf > self.dense_conf
+        if keep.sum() < self.DENSE_MIN_MATCHES:
+            # dual-softmax confidence is calibrated by training (the
+            # reference's 0.7 LoFTR filter assumes its pretrained weights);
+            # fall back to top-N ranking so pose estimation is never
+            # starved by a miscalibrated absolute threshold (same policy
+            # as the trainer's keypoint-eval threshold fallback)
+            keep = np.argsort(-conf)[:self.DENSE_MIN_MATCHES]
+        self.fmap_prev = fmap
+        return kp0[keep], kp1[keep]
 
     def _match(self, kps, feat, seg):
         if self.matcher == "lightglue" and self.lightglue is not None:
@@ -158,11 +194,18 @@ class VisualOdometry:
 
     def process_image(self, img01: np.ndarray, absolute_scale: float = 1.0):
         """Returns (R, t, n_matches); updates the integrated pose."""
-        kps, feat, out = self._extract(img01)
-        seg = out.get("kp_class")
+        if self.matcher == "dense":
+            kps = feat = seg = None
+            dense_kps = self._match_dense(img01)  # times its own extract
+        else:
+            kps, feat, out = self._extract(img01)
+            seg = out.get("kp_class")
         t0 = time.perf_counter()
         try:
-            m_kps0, m_kps1 = self._match(kps, feat, seg)
+            if self.matcher == "dense":
+                m_kps0, m_kps1 = dense_kps
+            else:
+                m_kps0, m_kps1 = self._match(kps, feat, seg)
             R, t, mask_match, _ = estimate_pose(m_kps0, m_kps1, self.cam)
             n_inliers = int(np.count_nonzero(mask_match))
             self.mask_match = np.asarray(mask_match).reshape(-1) != 0
@@ -185,7 +228,8 @@ class VisualOdometry:
         self.cur_R = self.cur_R.dot(R)
         self.trajectory.append(self.cur_t.copy())
 
-        self.kps_prev, self.feat_prev, self.seg_prev = kps, feat, seg
+        if self.matcher != "dense":
+            self.kps_prev, self.feat_prev, self.seg_prev = kps, feat, seg
         return R, t, len(m_kps0)
 
     def draw_feature_tracks(self, img: np.ndarray,

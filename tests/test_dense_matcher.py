@@ -1,0 +1,116 @@
+"""Detector-free dense matcher (reference LoFTR mode, matching/dense.py).
+
+Correctness is tested through equivariance: a convolutional feature map
+shifts with its input, so matching an image against a shifted copy of
+itself must recover the shift — for any weights, including random init.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nanovs_slam_tpu.configs import get_config
+from nanovs_slam_tpu.matching.dense import DenseMatcher
+from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+
+H, W = 96, 128
+
+
+def _texture(seed=0):
+    """Low-frequency random texture with local structure."""
+    rs = np.random.RandomState(seed)
+    base = rs.rand(H // 8 + 4, W // 8 + 4, 3).astype(np.float32)
+    import cv2
+    img = cv2.resize(base, (W + 32, H + 32), interpolation=cv2.INTER_CUBIC)
+    img += rs.rand(H + 32, W + 32, 3).astype(np.float32) * 0.15
+    return np.clip(img, 0, 1)
+
+
+@pytest.fixture(scope="module")
+def matcher():
+    cfg = get_config("N", n_classes=8)
+    model = build_model(cfg)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(3),
+                                     input_shape=(1, H, W, 3))
+    variables = {"params": params, "batch_stats": batch_stats}
+    return DenseMatcher(model, cfg, variables, (H, W), k=128)
+
+
+def test_identity_pair_matches_diagonal(matcher):
+    img = _texture()[16:16 + H, 16:16 + W]
+    out = matcher(img, img, conf_threshold=0.0)
+    kp0, kp1 = out["keypoints0"], out["keypoints1"]
+    assert kp0.shape == kp1.shape and kp0.shape[1] == 2
+    assert len(kp0) > 50
+    # self-matching: every pair is the same location (fine offset ~0)
+    err = np.linalg.norm(kp0 - kp1, axis=1)
+    assert np.median(err) < 1.0, np.median(err)
+
+
+def test_cell_shift_recovered(matcher):
+    tex = _texture(1)
+    img0 = tex[16:16 + H, 16:16 + W]
+    img1 = tex[16:16 + H, 8:8 + W]  # content moves +8 px in x (one cell)
+    out = matcher(img0, img1, conf_threshold=0.0)
+    kp0, kp1, conf = (out["keypoints0"], out["keypoints1"],
+                      out["confidence"])
+    top = np.argsort(-conf)[:40]
+    dx = kp1[top, 0] - kp0[top, 0]
+    dy = kp1[top, 1] - kp0[top, 1]
+    assert abs(np.median(dx) - 8.0) < 1.5, np.median(dx)
+    assert abs(np.median(dy)) < 1.5, np.median(dy)
+
+
+def test_subcell_shift_refined(matcher):
+    tex = _texture(2)
+    img0 = tex[16:16 + H, 16:16 + W]
+    img1 = tex[12:12 + H, 16:16 + W]  # content moves +4 px in y (half cell)
+    out = matcher(img0, img1, conf_threshold=0.0)
+    kp0, kp1, conf = (out["keypoints0"], out["keypoints1"],
+                      out["confidence"])
+    top = np.argsort(-conf)[:40]
+    dy = kp1[top, 1] - kp0[top, 1]
+    # the coarse grid cannot express a 4 px shift (cell=8); only the fine
+    # soft-argmax stage can produce it
+    assert abs(np.median(dy) - 4.0) < 2.0, np.median(dy)
+
+
+def test_loftr_surface(matcher):
+    """Output dict mirrors the reference's LoFTR branch consumption
+    (visual_odometry.py:305-309): keypoints0/keypoints1/confidence,
+    threshold-filtered."""
+    img = _texture(3)[16:16 + H, 16:16 + W]
+    out = matcher(img, img, conf_threshold=0.5)
+    assert set(out) == {"keypoints0", "keypoints1", "confidence"}
+    assert (out["confidence"] > 0.5).all()
+    loose = matcher(img, img, conf_threshold=0.0)
+    assert len(loose["confidence"]) >= len(out["confidence"])
+
+
+def test_vo_dense_mode(matcher):
+    """VisualOdometry matcher='dense' end-to-end plumbing: device-resident
+    previous map, per-frame extract+match+pose."""
+    pytest.importorskip("cv2")
+    from nanovs_slam_tpu.vo.camera import PinholeCamera
+    from nanovs_slam_tpu.vo.visual_odometry import VisualOdometry
+
+    cam = PinholeCamera(W, H, 120.0, 120.0, W / 2, H / 2)
+    vo = VisualOdometry(None, cam, matcher="dense", dense=matcher,
+                        dense_conf=0.0)
+    tex = _texture(4)
+    vo.init(tex[16:16 + H, 16:16 + W])
+    for s in (12, 8):  # content shifts left -> camera pans right
+        vo.process_image(tex[16:16 + H, s:s + W], absolute_scale=1.0)
+    assert len(vo.trajectory) == 3
+    assert len(vo.stats.n_matches) == 2
+    assert vo.stats.n_matches[0] > 30
+    assert len(vo.stats.network_inference_timing) == 3  # init + 2 frames
+
+
+def test_dense_requires_matcher_instance():
+    from nanovs_slam_tpu.vo.camera import PinholeCamera
+    from nanovs_slam_tpu.vo.visual_odometry import VisualOdometry
+    cam = PinholeCamera(W, H, 120.0, 120.0, W / 2, H / 2)
+    with pytest.raises(ValueError):
+        VisualOdometry(None, cam, matcher="dense")
