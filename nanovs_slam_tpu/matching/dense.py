@@ -163,7 +163,7 @@ class DenseMatcher:
             inner = ((ii > 0) & (ii < Hc - 1) & (jj > 0) & (jj < Wc - 1))
             conf = jnp.where(inner, conf, 0.0)
 
-            top_conf, idx0 = jax.lax.top_k(conf, k)
+            top_conf, idx0 = jax.lax.top_k(conf, min(k, Hc * Wc))
             idx1 = jnp.take(j, idx0)
 
             # cell centers in image pixels (decode_coords convention)

@@ -257,7 +257,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              video_name: str, new_size=None,
                              max_frames: Optional[int] = None,
                              verbose: bool = False,
-                             matcher: str = "bf") -> Dict:
+                             matcher: str = "bf", dense=None) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT."""
     import cv2
@@ -288,7 +288,25 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
             pts = pts * np.array([sx, sy])
             return pts, feat, out
 
-    vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher)
+    class ScaledDense:
+        """Scales dense-match coordinates from the resized frame back to
+        the original camera frame (reference 'apply resizing factors to
+        the keypoints', visual_odometry.py:310)."""
+
+        def __init__(self, dm):
+            self.dm = dm
+
+        def extract(self, img01):
+            return self.dm.extract(img01)
+
+        def match_maps(self, f0, f1):
+            kp0, kp1, conf = self.dm.match_maps(f0, f1)
+            s = np.array([sx, sy], np.float32)
+            return np.asarray(kp0) * s, np.asarray(kp1) * s, conf
+
+    vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
+                        dense=ScaledDense(dense) if dense is not None
+                        else None)
     vo.init(prep(frame))
 
     i_frame = 1

@@ -33,7 +33,7 @@ def parse_args():
                    help="keypoint confidence threshold (frontend.py:31)")
     p.add_argument("--matcher", default="bf",
                    choices=["bf", "flann", "crosscheck", "semantic",
-                            "lightglue"])
+                            "lightglue", "dense"])
     p.add_argument("--semantic_filter", action="store_true")
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
     p.add_argument("--max_frames", type=int, default=None)
@@ -74,10 +74,17 @@ def main():
         semantic_filter=args.semantic_filter,
         classes_to_filter=args.classes_to_filter,
         with_seg=args.matcher == "semantic")
+    dense = None
+    if args.matcher == "dense":
+        from nanovs_slam_tpu.matching.dense import DenseMatcher
+
+        dense = DenseMatcher(
+            model, cfg, {"params": params, "batch_stats": batch_stats},
+            (H, W), k=args.top_k)
     results = evaluate_visual_odometry(
         fe, args.kitti_path, args.gt_name, args.video_name,
         new_size=(H, W), max_frames=args.max_frames, verbose=True,
-        matcher=args.matcher)
+        matcher=args.matcher, dense=dense)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
