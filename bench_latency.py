@@ -68,21 +68,32 @@ def main():
         "mask0": data0["mask"], "mask1": data0["mask"]},
         True)["params"]  # train=True materializes confidence-head params
 
-    # dependency-chained on-device timing (async-dispatch-safe; see bench.py)
+    # DIFFERENTIAL dependency-chained on-device timing: each fetch costs
+    # (harness RTT ~29 ms + n * device_time) over the tunnel; the slope
+    # between two chain lengths is the pure device time (see bench.py).
     n = 20 if on_tpu else 2
+    n_lo, n_hi = (10, 110) if on_tpu else (1, 3)
 
-    @jax.jit
-    def chained(i0, i1):
-        def step(carry, _):
-            return pipeline(variables, lg_params, i0 + carry * 1e-20,
-                            i1), None
-        s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
-        return s
+    def make_chain(nn):
+        @jax.jit
+        def chained(i0, i1):
+            def step(carry, _):
+                return pipeline(variables, lg_params, i0 + carry * 1e-20,
+                                i1), None
+            s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=nn)
+            return s
 
-    float(chained(img0, img1))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(img0, img1))
-    per = (time.perf_counter() - t0) / n
+        float(chained(img0, img1))  # compile + warm
+        def run():
+            t0 = time.perf_counter()
+            float(chained(img0, img1))
+            return time.perf_counter() - t0
+        return run
+
+    lo, hi = make_chain(n_lo), make_chain(n_hi)
+    t_lo = min(lo() for _ in range(3))
+    t_hi = min(hi() for _ in range(3))
+    per = (t_hi - t_lo) / (n_hi - n_lo)
 
     # host-in-the-loop p50/p95 (includes dispatch/fetch)
     timer = StepTimer()

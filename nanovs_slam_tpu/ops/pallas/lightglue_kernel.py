@@ -1,0 +1,340 @@
+"""The entire LightGlue transformer stack as ONE Pallas TPU kernel.
+
+STATUS: exact-parity artifact, NOT the default matcher path. It was
+built against a "0.70 ms / 1.5% MFU" measurement that turned out to be
+a timing-harness artifact (a fixed ~29 ms tunnel fetch RTT divided by
+n=50; see STATUS.md round-2 amendment): honest differential timing puts
+the XLA matcher at 0.105 ms and this fused path at 0.117 ms (0.90x —
+XLA wins; its small-op overheads were never the bottleneck). The kernel
+itself runs the 4 transformer layers at ~23 us/layer and stays useful
+as (a) a parity-locked whole-network Pallas reference and (b) the
+starting point if a non-tunneled deployment ever shows real per-op
+dispatch cost.
+
+Original motivation: every weight (~220 KB) and every activation
+(<= 4 MB) of the network fits in VMEM simultaneously, so the whole
+4-layer self+cross stack runs as a single kernel with zero HBM
+round-trips between ops.
+
+Reference behavior: matching/lightglue.py (itself parity-locked against
+/root/reference/lightglue/lightglue.py) — self-attention with rotary
+Fourier positions, bidirectional cross-attention, cat-Linear-LN-GELU-
+Linear FFNs, residuals. The assignment head + match filtering stay in
+XLA (a handful of ops; reuses the flax module unchanged).
+
+TPU-native choices (all probe-verified on Mosaic):
+- Heads are batched as the leading dim of rank-3 dots
+  ((H, N, dh) x (H, N, dh) -> (H, N, N), contraction on the minor dim
+  of both operands — no transposes anywhere).
+- Rotary runs in a PERMUTED half basis: the reference interleaves
+  (even, odd) rotation pairs; a fixed permutation P mapping pairs to
+  halves is folded into Wq/Wk offline (P is orthogonal so Q'K'^T =
+  QK^T exactly), turning rotate_half into two lane-slices + concat.
+- Exact (erf) GELU via the Abramowitz-Stegun 7.1.26 rational
+  approximation (|err| <= 1.5e-7; Mosaic has no erf/erfc primitive).
+- Padding masks enter as additive -1e9 biases on the attention logits
+  and on the assignment similarity (same argmax/filter semantics as
+  the boolean-mask reference path; fully-masked images are rejected
+  host-side instead of the reference's zeroed softmax rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+NEG = -1e9
+
+
+def _erf(x: Array) -> Array:
+    """Abramowitz-Stegun 7.1.26, |abs err| <= 1.5e-7 (f32-exact)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t \
+        * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _gelu(x: Array) -> Array:
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+def _softmax_last(x: Array) -> Array:
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _softmax_ax(x: Array, axis: int) -> Array:
+    m = jnp.max(x, axis=axis, keepdims=True)
+    e = jnp.exp(x - m)
+    return e / jnp.sum(e, axis=axis, keepdims=True)
+
+
+def _rotary(q: Array, cs: Array, sn: Array) -> Array:
+    """q (H, N, dh) in the half basis; cs/sn (N, dh/2)."""
+    h = q.shape[-1] // 2
+    q1, q2 = q[..., :h], q[..., h:]
+    cos = jnp.concatenate([cs, cs], axis=-1)[None]
+    sin = jnp.concatenate([sn, sn], axis=-1)[None]
+    rot = jnp.concatenate([-q2, q1], axis=-1)
+    return q * cos + rot * sin
+
+
+def _kernel(x0_ref, x1_ref, c0_ref, s0_ref, c1_ref, s1_ref,
+            am0_ref, am1_ref,
+            wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+            wo_ref, bo_ref,
+            wqkc_ref, wvc_ref, bqkc_ref, bvc_ref, woc_ref, boc_ref,
+            f1_ref, fb1_ref, fg_ref, fbt_ref, f2_ref, fb2_ref,
+            o0_ref, o1_ref, *, L: int, H: int, D: int, DH: int):
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def heads(x, w_ref, b_ref, l):
+        """x (N, D) -> (H, N, DH) via per-head projections."""
+        return jnp.stack(
+            [mm(x, w_ref[l, h]) + b_ref[l, h] for h in range(H)], axis=0)
+
+    def attn_ctx(sim, v, amask, axis):
+        """softmax over `axis` with additive key mask, then context."""
+        if axis == 2:
+            p = _softmax_last(sim + amask[None, None, :])
+            return jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)  # (H, N, DH)
+        p = _softmax_ax(sim + amask[None, :, None], axis=1)
+        return jax.lax.dot_general(
+            p, v, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)  # (H, M->N, DH)
+
+    def merge(ctx, w_ref, b_ref, l):
+        """(H, N, DH) -> (N, D) via per-head output projections."""
+        out = None
+        for h in range(H):
+            y = mm(ctx[h], w_ref[l, h])
+            out = y if out is None else out + y
+        return out + b_ref[l]
+
+    def ffn(x, msg, l, i):
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = mm(y, f1_ref[l, i]) + fb1_ref[l, i]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean((y - mu) * (y - mu), axis=-1, keepdims=True)
+        y = (y - mu) * jax.lax.rsqrt(var + 1e-5)
+        y = y * fg_ref[l, i] + fbt_ref[l, i]
+        y = _gelu(y)
+        return x + (mm(y, f2_ref[l, i]) + fb2_ref[l, i])
+
+    x0 = x0_ref[...].astype(f32)
+    x1 = x1_ref[...].astype(f32)
+    c0, s0 = c0_ref[...], s0_ref[...]
+    c1, s1 = c1_ref[...], s1_ref[...]
+    am0 = am0_ref[0]
+    am1 = am1_ref[0]
+    scale = DH ** -0.5
+
+    for l in range(L):
+        # --- self attention (shared weights, applied per image) ---
+        for img in range(2):
+            x, cs, sn, am = ((x0, c0, s0, am0) if img == 0
+                             else (x1, c1, s1, am1))
+            q = _rotary(heads(x, wq_ref, bq_ref, l), cs, sn)
+            k = _rotary(heads(x, wk_ref, bk_ref, l), cs, sn)
+            v = heads(x, wv_ref, bv_ref, l)
+            sim = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32) * scale  # (H, N, N)
+            ctx = attn_ctx(sim, v, am, axis=2)
+            msg = merge(ctx, wo_ref, bo_ref, l)
+            x = ffn(x, msg, l, 0)
+            if img == 0:
+                x0 = x
+            else:
+                x1 = x
+
+        # --- bidirectional cross attention ---
+        qk0 = heads(x0, wqkc_ref, bqkc_ref, l)
+        qk1 = heads(x1, wqkc_ref, bqkc_ref, l)
+        v0 = heads(x0, wvc_ref, bvc_ref, l)
+        v1 = heads(x1, wvc_ref, bvc_ref, l)
+        sim = jax.lax.dot_general(
+            qk0, qk1, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32) * scale  # (H, M, N)
+        ctx0 = attn_ctx(sim, v1, am1, axis=2)   # rows soft over keys 1
+        ctx1 = attn_ctx(sim, v0, am0, axis=1)   # cols soft over keys 0
+        msg0 = merge(ctx0, woc_ref, boc_ref, l)
+        msg1 = merge(ctx1, woc_ref, boc_ref, l)
+        x0 = ffn(x0, msg0, l, 1)
+        x1 = ffn(x1, msg1, l, 1)
+
+    o0_ref[...] = x0
+    o1_ref[...] = x1
+
+
+def _half_perm(dh: int) -> np.ndarray:
+    """Permutation mapping interleaved rotary pairs to halves:
+    new j' < dh/2 -> old 2j'; new dh/2+j' -> old 2j'+1."""
+    half = dh // 2
+    perm = np.empty(dh, np.int64)
+    perm[:half] = 2 * np.arange(half)
+    perm[half:] = 2 * np.arange(half) + 1
+    return perm
+
+
+def pack_weights(params: Dict, L: int, H: int, D: int) -> Dict[str, Array]:
+    """Flax LightGlue params -> layer/head-stacked f32 arrays for the
+    kernel. Rotary half-basis permutation folded into Wq/Wk/bq/bk."""
+    DH = D // H
+    perm = _half_perm(DH)
+    out = {k: [] for k in ("wq", "wk", "wv", "bq", "bk", "bv", "wo", "bo",
+                           "wqkc", "wvc", "bqkc", "bvc", "woc", "boc",
+                           "f1", "fb1", "fg", "fbt", "f2", "fb2")}
+    for l in range(L):
+        t = params[f"transformers_{l}"]
+        sa, ca = t["self_attn"], t["cross_attn"]
+        wqkv = np.asarray(sa["Wqkv"]["kernel"], np.float32)  # (D, 3D)
+        bqkv = np.asarray(sa["Wqkv"]["bias"], np.float32)
+        # torch packing: channel = h*(DH*3) + j*3 + {0:q,1:k,2:v}
+        wq = np.stack([wqkv[:, [h * DH * 3 + j * 3 + 0 for j in perm]]
+                       for h in range(H)])
+        wk = np.stack([wqkv[:, [h * DH * 3 + j * 3 + 1 for j in perm]]
+                       for h in range(H)])
+        wv = np.stack([wqkv[:, [h * DH * 3 + j * 3 + 2
+                                for j in range(DH)]] for h in range(H)])
+        bq = np.stack([bqkv[[h * DH * 3 + j * 3 + 0 for j in perm]][None]
+                       for h in range(H)])
+        bk = np.stack([bqkv[[h * DH * 3 + j * 3 + 1 for j in perm]][None]
+                       for h in range(H)])
+        bv = np.stack([bqkv[[h * DH * 3 + j * 3 + 2
+                             for j in range(DH)]][None] for h in range(H)])
+        wo_full = np.asarray(sa["out_proj"]["kernel"], np.float32)
+        out["wq"].append(wq); out["wk"].append(wk); out["wv"].append(wv)
+        out["bq"].append(bq); out["bk"].append(bk); out["bv"].append(bv)
+        out["wo"].append(np.stack(
+            [wo_full[h * DH:(h + 1) * DH] for h in range(H)]))
+        out["bo"].append(np.asarray(sa["out_proj"]["bias"],
+                                    np.float32)[None])
+
+        wqk = np.asarray(ca["to_qk"]["kernel"], np.float32)
+        bqk = np.asarray(ca["to_qk"]["bias"], np.float32)
+        wv_c = np.asarray(ca["to_v"]["kernel"], np.float32)
+        bv_c = np.asarray(ca["to_v"]["bias"], np.float32)
+        wo_c = np.asarray(ca["to_out"]["kernel"], np.float32)
+        out["wqkc"].append(np.stack(
+            [wqk[:, h * DH:(h + 1) * DH] for h in range(H)]))
+        out["bqkc"].append(np.stack(
+            [bqk[h * DH:(h + 1) * DH][None] for h in range(H)]))
+        out["wvc"].append(np.stack(
+            [wv_c[:, h * DH:(h + 1) * DH] for h in range(H)]))
+        out["bvc"].append(np.stack(
+            [bv_c[h * DH:(h + 1) * DH][None] for h in range(H)]))
+        out["woc"].append(np.stack(
+            [wo_c[h * DH:(h + 1) * DH] for h in range(H)]))
+        out["boc"].append(np.asarray(ca["to_out"]["bias"],
+                                     np.float32)[None])
+
+        for key, blk in (("f1", "fc1"), ("f2", "fc2")):
+            out[key].append(np.stack(
+                [np.asarray(t[m]["ffn"][blk]["kernel"], np.float32)
+                 for m in ("self_attn", "cross_attn")]))
+        for key, blk, fld in (("fb1", "fc1", "bias"), ("fb2", "fc2", "bias"),
+                              ("fg", "norm", "scale"),
+                              ("fbt", "norm", "bias")):
+            out[key].append(np.stack(
+                [np.asarray(t[m]["ffn"][blk][fld], np.float32)[None]
+                 for m in ("self_attn", "cross_attn")]))
+    return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("L", "H", "interpret"))
+def fused_transformer(x0: Array, x1: Array, c0: Array, s0: Array,
+                      c1: Array, s1: Array, am0: Array, am1: Array,
+                      packed: Dict[str, Array], L: int, H: int,
+                      interpret: bool = False) -> Tuple[Array, Array]:
+    """x0/x1 (N, D) f32 descriptors (post input-proj), c/s (N, DH/2)
+    rotary tables in the half basis (i.e. the UN-repeated cos/sin from
+    FourierPositionalEncoding), am0/am1 (1, N) additive key masks
+    (0 valid / -1e9 padded) -> final (N, D) descriptors of both images.
+    """
+    N, D = x0.shape
+    DH = D // H
+    order = ("wq", "wk", "wv", "bq", "bk", "bv", "wo", "bo",
+             "wqkc", "wvc", "bqkc", "bvc", "woc", "boc",
+             "f1", "fb1", "fg", "fbt", "f2", "fb2")
+    weights = [packed[k] for k in order]
+    operands = [x0, x1, c0, s0, c1, s1, am0, am1] + weights
+    kern = functools.partial(_kernel, L=L, H=H, D=D, DH=DH)
+    o0, o1 = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((N, D), jnp.float32)] * 2,
+        interpret=interpret,
+    )(*operands)
+    return o0, o1
+
+
+class FusedLightGlue:
+    """Drop-in fast-path runner: same `data` dict in, same pred dict out
+    as `LightGlue.__call__` (static full depth). The transformer stack
+    runs as one Pallas kernel; embedding (input proj + Fourier posenc)
+    and the assignment/filter tail reuse the flax module unchanged."""
+
+    def __init__(self, matcher, params, interpret: bool = False):
+        self.matcher = matcher
+        self.params = params
+        cfg = matcher.cfg
+        self.L, self.H = cfg.n_layers, cfg.num_heads
+        self.D = cfg.descriptor_dim
+        self.packed = pack_weights(params, self.L, self.H, self.D)
+        self.interpret = interpret
+        self._run = jax.jit(self._build())
+
+    def _build(self):
+        matcher, params = self.matcher, self.params
+        L, H, D = self.L, self.H, self.D
+        packed, interpret = self.packed, self.interpret
+
+        def run(data):
+            d0, d1, enc0, enc1 = matcher.apply(
+                {"params": params}, data, method=matcher.embed)
+            # recover half-basis cos/sin: posenc emits repeat-interleaved
+            # tables; entries 0::2 are the raw values
+            c0 = enc0[0][0, 0, :, 0::2]
+            s0 = enc0[1][0, 0, :, 0::2]
+            c1 = enc1[0][0, 0, :, 0::2]
+            s1 = enc1[1][0, 0, :, 0::2]
+            n0 = data.get("mask0")
+            n1 = data.get("mask1")
+            N = d0.shape[1]
+            am0 = (jnp.where(n0, 0.0, NEG).astype(jnp.float32)
+                   if n0 is not None else jnp.zeros((1, N), jnp.float32))
+            am1 = (jnp.where(n1, 0.0, NEG).astype(jnp.float32)
+                   if n1 is not None else jnp.zeros((1, N), jnp.float32))
+            o0, o1 = fused_transformer(
+                d0[0], d1[0], c0, s0, c1, s1,
+                am0.reshape(1, N), am1.reshape(1, N), packed, L, H,
+                interpret=interpret)
+            return matcher.apply(
+                {"params": params}, L - 1, o0[None], o1[None],
+                n0, n1, method=matcher.finalize)
+
+        return run
+
+    def __call__(self, data: Dict[str, Array]) -> Dict[str, Array]:
+        return self._run(data)
