@@ -30,6 +30,12 @@ def parse_args():
     p.add_argument("--segmentation", action="store_true")
     p.add_argument("--depth", action="store_true")
     p.add_argument("--vo", action="store_true")
+    p.add_argument("--vo_matcher", default="bf",
+                   choices=["bf", "flann", "crosscheck", "semantic",
+                            "lightglue", "dense"],
+                   help="VO matching mode (reference visual_odometry "
+                        "matcher conf; 'dense' = detector-free LoFTR-mode "
+                        "counterpart, matching/dense.py)")
     p.add_argument("--top_k", type=int, nargs="+", default=[300, 1000])
     p.add_argument("--im_h", type=int, default=240)
     p.add_argument("--im_w", type=int, default=320)
@@ -267,12 +273,20 @@ def main():
         if kitti and os.path.isdir(kitti):
             for vo_h, vo_w in [(128, 256), (128, 512), (256, 1024)]:
                 try:
-                    fe = KP2DTinyFrontend(model, cfg, variables,
-                                          (vo_h, vo_w), top_k=4000)
+                    fe = KP2DTinyFrontend(
+                        model, cfg, variables, (vo_h, vo_w), top_k=4000,
+                        with_seg=args.vo_matcher == "semantic")
+                    dense = None
+                    if args.vo_matcher == "dense":
+                        from nanovs_slam_tpu.matching.dense import \
+                            DenseMatcher
+
+                        dense = DenseMatcher(model, cfg, variables,
+                                             (vo_h, vo_w))
                     r = evaluate_visual_odometry(
                         fe, kitti, "06.txt", "06.mp4",
                         new_size=(vo_h, vo_w), max_frames=args.max_items,
-                        verbose=True)
+                        verbose=True, matcher=args.vo_matcher, dense=dense)
                     results[f"vo_{vo_h}x{vo_w}"] = r
                     print(f"VO {vo_h}x{vo_w}: {r['total']}")
                 except Exception as e:

@@ -41,7 +41,7 @@ TPU-native choices (all probe-verified on Mosaic):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
