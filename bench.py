@@ -61,42 +61,23 @@ def main():
                 + post["seg"].astype(jnp.float32).sum()
                 + post["vlad"].astype(jnp.float32).sum())
 
-    # DIFFERENTIAL chained timing: one fetch of a dependency-chained scan
-    # costs (harness RTT + n * device_time) on the tunneled backend — the
-    # fixed RTT is ~29 ms here and inflated round-1 numbers by ~15% at
-    # n=10. Timing two chain lengths and taking the slope measures pure
-    # device time; the RTT is reported for transparency.
+    # DIFFERENTIAL chained timing (utils/profiling.chained_device_time):
+    # one fetch of a dependency-chained scan costs (harness RTT + n *
+    # device_time) on the tunneled backend — the fixed RTT is ~29 ms here
+    # and skewed round-1 numbers at n=10. The two-length slope measures
+    # pure device time; the RTT is reported for transparency.
+    from nanovs_slam_tpu.utils.profiling import chained_device_time
+
     n_lo, n_hi = (5, 30) if on_tpu else (1, 3)
-    best_fps, rtt_ms = 0.0, 0.0
-
-    def make_chain(n, x):
-        @jax.jit
-        def chained(x):
-            def step(carry, _):
-                s = one(x + carry * 1e-20)  # dependency -> sequential exec
-                return s, None
-            s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
-            return s
-
-        float(chained(x))  # compile + warm
-        def run():
-            t0 = time.perf_counter()
-            float(chained(x))  # forces full execution (scalar fetch)
-            return time.perf_counter() - t0
-        return run
-
+    best_fps = 0.0
     for B in ([64, 128, 256] if on_tpu else [4]):
         x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
                               jnp.float32)
-        lo, hi = make_chain(n_lo, x), make_chain(n_hi, x)
-        t_lo = min(lo() for _ in range(3))
-        t_hi = min(hi() for _ in range(3))
-        dt = (t_hi - t_lo) / (n_hi - n_lo)
-        rtt_ms = (t_lo - n_lo * dt) * 1e3
+        dt, rtt = chained_device_time(one, x, n_lo, n_hi)
         fps = B / dt
         best_fps = max(best_fps, fps)
         print(f"# B={B}: {dt * 1e3:.2f} ms/iter -> {fps:.1f} FPS "
-              f"(harness rtt {rtt_ms:.1f} ms)", file=sys.stderr)
+              f"(harness rtt {rtt * 1e3:.1f} ms)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "kp2dtiny_N_multitask_fps_per_chip_320x240",

@@ -70,30 +70,15 @@ def main():
 
     # DIFFERENTIAL dependency-chained on-device timing: each fetch costs
     # (harness RTT ~29 ms + n * device_time) over the tunnel; the slope
-    # between two chain lengths is the pure device time (see bench.py).
+    # between two chain lengths is the pure device time
+    # (utils/profiling.chained_device_time).
+    from nanovs_slam_tpu.utils.profiling import chained_device_time
+
     n = 20 if on_tpu else 2
     n_lo, n_hi = (10, 110) if on_tpu else (1, 3)
-
-    def make_chain(nn):
-        @jax.jit
-        def chained(i0, i1):
-            def step(carry, _):
-                return pipeline(variables, lg_params, i0 + carry * 1e-20,
-                                i1), None
-            s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=nn)
-            return s
-
-        float(chained(img0, img1))  # compile + warm
-        def run():
-            t0 = time.perf_counter()
-            float(chained(img0, img1))
-            return time.perf_counter() - t0
-        return run
-
-    lo, hi = make_chain(n_lo), make_chain(n_hi)
-    t_lo = min(lo() for _ in range(3))
-    t_hi = min(hi() for _ in range(3))
-    per = (t_hi - t_lo) / (n_hi - n_lo)
+    per, _rtt = chained_device_time(
+        lambda i0: pipeline(variables, lg_params, i0, img1),
+        img0, n_lo, n_hi)
 
     # host-in-the-loop p50/p95 (includes dispatch/fetch)
     timer = StepTimer()

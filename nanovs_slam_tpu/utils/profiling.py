@@ -68,3 +68,48 @@ class StepTimer:
                          "fps": float(1.0 / max(a.mean(), 1e-9)),
                          "n": len(s)}
         return out
+
+
+def chained_device_time(step_fn, example, n_lo: int = 5, n_hi: int = 30,
+                        repeats: int = 3):
+    """Differential dependency-chained device timing.
+
+    On tunneled/asynchronous backends a single chained-scan fetch costs
+    (fixed dispatch+fetch RTT + n * device_time); at small n the fixed
+    RTT (~29 ms over the axon tunnel) dominates and corrupts absolute
+    numbers in BOTH directions (understates throughput, overstates
+    small latencies). Timing two chain lengths and taking the slope
+    cancels the RTT exactly.
+
+    step_fn(x) must take the example and return a SCALAR (f32) that
+    depends on every output (so nothing is dead-code-eliminated); the
+    chain feeds `example + carry * 1e-20` back in to force sequential
+    execution.
+
+    Returns (device_seconds_per_iter, fixed_rtt_seconds).
+    """
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def chained(x):
+            def step(carry, _):
+                return step_fn(x + carry * 1e-20), None
+
+            s, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+            return s
+
+        float(chained(example))  # compile + warm
+
+        def run():
+            t0 = time.perf_counter()
+            float(chained(example))
+            return time.perf_counter() - t0
+
+        return run
+
+    lo, hi = make(n_lo), make(n_hi)
+    t_lo = min(lo() for _ in range(repeats))
+    t_hi = min(hi() for _ in range(repeats))
+    dev = (t_hi - t_lo) / (n_hi - n_lo)
+    return dev, max(t_lo - n_lo * dev, 0.0)
