@@ -92,17 +92,29 @@ class KP2DTinyFrontend:
 
         return infer
 
+    def run_async(self, img01: np.ndarray):
+        """Dispatch extraction and return the DEVICE arrays immediately
+        (JAX async dispatch): the expensive fetch/trim happens in
+        fetch(). Lets a VO driver overlap device extraction of frame
+        t+1 with the host RANSAC tail of frame t (SURVEY §7.3)."""
+        x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
+        return self._infer(self.variables, x)
+
+    def fetch(self, handle):
+        """Device handle from run_async -> (pts, feat, out) numpy
+        results, trimmed to valid slots."""
+        kp, s, d, valid, kp_class, post = handle
+        kp, d = np.asarray(kp[0]), np.asarray(d[0])
+        valid = np.asarray(valid[0])
+        out = {k: np.asarray(v) for k, v in post.items()}
+        if self.semantic_filter or self.with_seg:
+            out["kp_class"] = np.asarray(kp_class[0])[valid]
+        return kp[valid], d[valid], out
+
     def run(self, img01: np.ndarray):
         """img01: (H, W, 3) float in [0, 1] at self.new_size.
         Returns (pts (N,2), feat (N,C), out dict) trimmed to valid slots;
         out["kp_class"] is the per-keypoint segmentation class (N,) when the
         seg head runs (semantic_filter or with_seg), used by the semantic
         VO matcher (reference visual_odometry.py:347-380)."""
-        x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
-        kp, s, d, valid, kp_class, post = self._infer(self.variables, x)
-        kp, s, d = np.asarray(kp[0]), np.asarray(s[0]), np.asarray(d[0])
-        valid = np.asarray(valid[0])
-        out = {k: np.asarray(v) for k, v in post.items()}
-        if self.semantic_filter or self.with_seg:
-            out["kp_class"] = np.asarray(kp_class[0])[valid]
-        return kp[valid], d[valid], out
+        return self.fetch(self.run_async(img01))

@@ -101,13 +101,28 @@ class VisualOdometry:
         self.m_kps1 = np.zeros((0, 2))
         self.mask_match = np.zeros((0,), bool)
 
-    def _extract(self, img01):
+    def _extract(self, img01, prefetched=None):
         """Timed frontend run (reference timing_decorator on inference,
-        visual_odometry.py:14-23,188)."""
+        visual_odometry.py:14-23,188). With `prefetched` (a handle from
+        begin_extract), only the fetch/trim is timed — the device ran
+        while the host did other work."""
         t0 = time.perf_counter()
-        kps, feat, out = self.frontend.run(img01)
+        if prefetched is not None:
+            kps, feat, out = self.frontend.fetch(prefetched)
+        else:
+            kps, feat, out = self.frontend.run(img01)
         self.stats.network_inference_timing.append(time.perf_counter() - t0)
         return kps, feat, out
+
+    def begin_extract(self, img01):
+        """Dispatch frame extraction WITHOUT waiting (JAX async
+        dispatch); pass the returned handle to process_image(...,
+        prefetched=). Overlaps device extraction of frame t+1 with the
+        host RANSAC tail of frame t (SURVEY §7.3). Returns None when the
+        frontend has no async surface (matching then runs eagerly)."""
+        if self.matcher != "dense" and hasattr(self.frontend, "run_async"):
+            return self.frontend.run_async(img01)
+        return None
 
     def init(self, img01: np.ndarray):
         if self.matcher == "dense":
@@ -192,13 +207,15 @@ class VisualOdometry:
         idx1 = m0[valid]
         return self.kps_prev[idx0[idx0 < n0]], kps[idx1[idx0 < n0]]
 
-    def process_image(self, img01: np.ndarray, absolute_scale: float = 1.0):
-        """Returns (R, t, n_matches); updates the integrated pose."""
+    def process_image(self, img01: np.ndarray, absolute_scale: float = 1.0,
+                      prefetched=None):
+        """Returns (R, t, n_matches); updates the integrated pose.
+        `prefetched`: optional handle from begin_extract(img01)."""
         if self.matcher == "dense":
             kps = feat = seg = None
             dense_kps = self._match_dense(img01)  # times its own extract
         else:
-            kps, feat, out = self._extract(img01)
+            kps, feat, out = self._extract(img01, prefetched)
             seg = out.get("kp_class")
         t0 = time.perf_counter()
         try:
@@ -288,6 +305,14 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
             pts = pts * np.array([sx, sy])
             return pts, feat, out
 
+        if hasattr(frontend, "run_async"):
+            def run_async(self, img01):
+                return frontend.run_async(img01)
+
+            def fetch(self, handle):
+                pts, feat, out = frontend.fetch(handle)
+                return pts * np.array([sx, sy]), feat, out
+
     class ScaledDense:
         """Scales dense-match coordinates from the resized frame back to
         the original camera frame (reference 'apply resizing factors to
@@ -309,17 +334,30 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                         else None)
     vo.init(prep(frame))
 
+    # pipelined frame loop: frame t+1's extraction is DISPATCHED before
+    # frame t's host RANSAC tail runs, so the device computes while the
+    # host solves (SURVEY §7.3 "overlapping device extraction with host
+    # RANSAC"); results are bit-identical to the sequential loop.
     i_frame = 1
     t_errs, r_errs = [], []
+    pending = None  # (img, extraction handle)
     while True:
         ret, frame = cap.read()
-        if not ret or (max_frames is not None and i_frame >= max_frames):
+        frame_idx = i_frame + (1 if pending is not None else 0)
+        more = ret and (max_frames is None or frame_idx < max_frames)
+        if more:
+            img = prep(frame)
+            handle = vo.begin_extract(img)
+        if pending is not None:
+            p_img, p_handle = pending
+            R, t, _ = vo.process_image(p_img, prefetched=p_handle)
+            t_err, r_err = calculate_relative_error(gt, i_frame, R, t)
+            t_errs.append(t_err)
+            r_errs.append(r_err)
+            i_frame += 1
+        if not more:
             break
-        R, t, _ = vo.process_image(prep(frame))
-        t_err, r_err = calculate_relative_error(gt, i_frame, R, t)
-        t_errs.append(t_err)
-        r_errs.append(r_err)
-        i_frame += 1
+        pending = (img, handle)
 
     t_errs = np.array(t_errs[1:])
     r_errs = np.array(r_errs[1:])
