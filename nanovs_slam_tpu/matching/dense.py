@@ -71,7 +71,9 @@ def _gather_windows(fmap: Array, cy: Array, cx: Array, w: int) -> Array:
         return jax.lax.dynamic_slice(
             padded, (y, x, 0), (w, w, fmap.shape[-1]))
 
-    return jax.vmap(one)(cy, cx)  # centers already offset by +r via clip
+    # slicing the r-padded map at (cy, cx) yields a window centered on
+    # the original (cy, cx)
+    return jax.vmap(one)(cy, cx)
 
 
 def fine_refine(f1: Array, d0c: Array, py: Array, px: Array, w: int,
