@@ -51,6 +51,14 @@ def parse_args():
     p.add_argument("--calib_batches", type=int, default=8)
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--max_items", type=int, default=None)
+    p.add_argument("--debug", action="store_true",
+                   help="save prediction visualizations (keypoint "
+                        "overlays, seg panels) to --result_dir — the "
+                        "headless analog of the reference's cv2.imshow "
+                        "debug flag (README.md:127-131)")
+    p.add_argument("--result_dir", default="results",
+                   help="where --debug writes PNGs (reference "
+                        "--result_dir)")
     return p.parse_args()
 
 
@@ -138,6 +146,19 @@ def main():
 
             ds = HPatchesDataset(root, (W, H))
             items = list(ds)[: args.max_items] if args.max_items else ds
+            if args.debug:
+                from nanovs_slam_tpu.utils.debug_viz import \
+                    save_keypoint_debug
+
+                for i, item in enumerate(items):
+                    if i >= 4:
+                        break
+                    out = infer_np(item["image"])
+                    save_keypoint_debug(
+                        os.path.join(args.result_dir,
+                                     f"keypoints_{i}.png"),
+                        item["image"], out["coord"].reshape(-1, 2),
+                        out["score"].reshape(-1))
             for k in args.top_k:
                 try:
                     r = evaluate_keypoint_net(items, infer_np,
@@ -187,6 +208,17 @@ def main():
                 out = infer(variables, jnp.asarray(images, jnp.float32))
                 return {k: np.asarray(v) for k, v in out.items()}
 
+            if args.debug:
+                from nanovs_slam_tpu.utils.debug_viz import save_seg_debug
+
+                for i, batch in enumerate(seg_iter()):
+                    if i >= 4:
+                        break
+                    out = infer_np(batch["image"])
+                    save_seg_debug(
+                        os.path.join(args.result_dir, f"seg_{i}.png"),
+                        batch["image"], out["seg"][0],
+                        batch["seg"][0], n_classes=args.n_classes)
             try:
                 r = evaluate_segmentation(seg_iter(), infer_np,
                                           args.n_classes)
