@@ -49,6 +49,46 @@ def save_keypoint_debug(path: str, image, kps: np.ndarray,
     return path
 
 
+def save_pair_debug(path: str, image0, image1, kps0: np.ndarray,
+                    kps1: np.ndarray,
+                    kps0_warped: Optional[np.ndarray] = None,
+                    scores0: Optional[np.ndarray] = None,
+                    scores1: Optional[np.ndarray] = None,
+                    top_k: int = 300) -> str:
+    """Training-pair panel (reference trainer debug,
+    KeypointNetwithIOLoss.py:607-779): source | target side by side,
+    detected keypoints in red on each; source keypoints warped by the pair
+    homography drawn as green circles on the target, so detector/homography
+    alignment is visible at a glance."""
+    import cv2
+
+    def draw(img, kps, scores):
+        vis = cv2.cvtColor(_to_uint8_rgb(img), cv2.COLOR_RGB2BGR).copy()
+        kps = np.asarray(kps).reshape(-1, 2)
+        if scores is not None and len(kps) > top_k:
+            kps = kps[np.argsort(-np.asarray(scores).reshape(-1))[:top_k]]
+        h, w = vis.shape[:2]
+        for x, y in kps.astype(int):
+            if 0 <= x < w and 0 <= y < h:
+                cv2.circle(vis, (int(x), int(y)), 2, (0, 0, 255), -1)
+        return vis
+
+    left = draw(image0, kps0, scores0)
+    right = draw(image1, kps1, scores1)
+    if kps0_warped is not None:
+        h, w = right.shape[:2]
+        warped = np.asarray(kps0_warped).reshape(-1, 2)
+        if scores0 is not None and len(warped) > top_k:
+            order = np.argsort(-np.asarray(scores0).reshape(-1))[:top_k]
+            warped = warped[order]
+        for x, y in warped.astype(int):
+            if 0 <= x < w and 0 <= y < h:
+                cv2.circle(right, (int(x), int(y)), 3, (0, 255, 0), 1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, np.hstack([left, right]))
+    return path
+
+
 def save_seg_debug(path: str, image, seg_pred: np.ndarray,
                    seg_gt: Optional[np.ndarray] = None,
                    n_classes: int = 28) -> str:

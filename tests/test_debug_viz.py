@@ -6,7 +6,8 @@ import os
 
 import numpy as np
 
-from nanovs_slam_tpu.utils.debug_viz import save_keypoint_debug, save_seg_debug
+from nanovs_slam_tpu.utils.debug_viz import (save_keypoint_debug,
+                                             save_pair_debug, save_seg_debug)
 
 
 def test_keypoint_debug_writes_png(tmp_path):
@@ -29,6 +30,24 @@ def test_keypoint_debug_accepts_batched_uint8(tmp_path):
     import cv2
 
     assert cv2.imread(path).shape == (64, 80, 3)
+
+
+def test_pair_debug_side_by_side(tmp_path):
+    img0 = np.random.rand(64, 80, 3).astype(np.float32)
+    img1 = np.random.rand(64, 80, 3).astype(np.float32)
+    kps = np.random.rand(400, 2) * [80, 64]
+    path = save_pair_debug(str(tmp_path / "pair.png"), img0, img1, kps, kps,
+                           kps0_warped=kps + 2.0,
+                           scores0=np.random.rand(400),
+                           scores1=np.random.rand(400), top_k=100)
+    import cv2
+
+    out = cv2.imread(path)
+    assert out.shape == (64, 160, 3)
+    # warped-source circles are green (BGR [0,255,0]) on the right panel
+    right = out[:, 80:]
+    green = (right[..., 1] == 255) & (right[..., 0] == 0) & (right[..., 2] == 0)
+    assert green.any()
 
 
 def test_seg_debug_panels_and_ignore_label(tmp_path):

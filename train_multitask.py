@@ -95,6 +95,12 @@ def parse_args():
                    choices=["none", "step", "cosine", "plateau"],
                    help="override the dataset config's LR scheduler")
     p.add_argument("--no_eval", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="save per-eval-epoch prediction visualizations "
+                        "(training-pair keypoint overlays, seg panels) to "
+                        "<out_model_path>_media/ — the headless analog of "
+                        "the reference trainer's cv2.imshow debug "
+                        "(KeypointNetwithIOLoss.py:607-779)")
     return p.parse_args()
 
 
@@ -420,6 +426,36 @@ def evaluate_model(model, cfg, state, dataset_val, size, args, train_flags,
                                              f"depth_examples_e{epoch}.png"))
         except Exception as e:
             results["depth"] = {"error": str(e)}
+
+    if getattr(args, "debug", False):
+        try:
+            from nanovs_slam_tpu.evaluation.detector import warp_keypoints
+            from nanovs_slam_tpu.utils.debug_viz import (save_pair_debug,
+                                                         save_seg_debug)
+
+            media = args.out_model_path + "_media"
+            item = synthetic_homography_pairs(dataset_val, size, 1)[0]
+            out0 = infer_np(item["image"])
+            out1 = infer_np(item["image_aug"])
+            kps0 = out0["coord"].reshape(-1, 2)
+            save_pair_debug(
+                os.path.join(media, f"debug_pair_e{epoch}.png"),
+                item["image"], item["image_aug"], kps0,
+                out1["coord"].reshape(-1, 2),
+                kps0_warped=warp_keypoints(kps0, item["homography"]),
+                scores0=out0["score"].reshape(-1),
+                scores1=out1["score"].reshape(-1), top_k=args.top_k)
+            if train_flags.get("segmentation"):
+                val0 = dataset_val[0]
+                hs, ws = 2 * (H // cfg.cell), 2 * (W // cfg.cell)
+                gt = cv2.resize(val0["seg"], (ws, hs),
+                                interpolation=cv2.INTER_NEAREST)
+                pred = infer_np(val0["image"][None] * 2 - 1)["seg"][0]
+                save_seg_debug(
+                    os.path.join(media, f"debug_seg_e{epoch}.png"),
+                    val0["image"], pred, gt, n_classes=cfg.n_classes)
+        except Exception as e:
+            print(f"debug visualization failed: {e}")
 
     if (epoch + 1) % args.full_eval != 0:
         return results
