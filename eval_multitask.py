@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--int8_weight_only", action="store_true",
                    help="weight-only fake-quant eval (rounding error only)")
     p.add_argument("--calib_batches", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42069,
+                   help="random seed (reference eval_multitask.py:54)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log results to wandb (JSONL fallback when wandb "
+                        "is absent; reference eval_multitask.py:336-340)")
     p.add_argument("--out", default="eval_results.json")
     p.add_argument("--max_items", type=int, default=None)
     p.add_argument("--debug", action="store_true",
@@ -64,6 +69,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from nanovs_slam_tpu.utils.seed import set_seed
+
+    set_seed(args.seed)
     from nanovs_slam_tpu.configs import get_config
     from nanovs_slam_tpu.data.datasets import load_datasets_json
     from nanovs_slam_tpu.inference import make_infer_fn
@@ -329,6 +337,14 @@ def main():
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2, default=str)
     print(f"results written to {args.out}")
+    if args.wandb:
+        from nanovs_slam_tpu.utils.logging import MetricLogger
+
+        logger = MetricLogger(use_wandb=True, config=vars(args))
+        flat = {f"{task}/{k}": v for task, r in results.items()
+                if isinstance(r, dict) for k, v in r.items()
+                if isinstance(v, (int, float))}
+        logger.log_dict("eval/", flat, step=0)
     return results
 
 
