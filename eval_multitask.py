@@ -155,18 +155,25 @@ def main():
             ds = HPatchesDataset(root, (W, H))
             items = list(ds)[: args.max_items] if args.max_items else ds
             if args.debug:
-                from nanovs_slam_tpu.utils.debug_viz import \
-                    save_keypoint_debug
+                from nanovs_slam_tpu.evaluation.detector import \
+                    warp_keypoints
+                from nanovs_slam_tpu.utils.debug_viz import save_pair_debug
 
                 for i, item in enumerate(items):
                     if i >= 4:
                         break
-                    out = infer_np(item["image"])
-                    save_keypoint_debug(
+                    out0 = infer_np(item["image"])
+                    out1 = infer_np(item["image_aug"])
+                    kps0 = out0["coord"].reshape(-1, 2)
+                    save_pair_debug(
                         os.path.join(args.result_dir,
                                      f"keypoints_{i}.png"),
-                        item["image"], out["coord"].reshape(-1, 2),
-                        out["score"].reshape(-1))
+                        item["image"], item["image_aug"], kps0,
+                        out1["coord"].reshape(-1, 2),
+                        kps0_warped=warp_keypoints(kps0,
+                                                   item["homography"]),
+                        scores0=out0["score"].reshape(-1),
+                        scores1=out1["score"].reshape(-1))
             for k in args.top_k:
                 try:
                     r = evaluate_keypoint_net(items, infer_np,
