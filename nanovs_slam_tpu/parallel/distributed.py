@@ -30,16 +30,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _pod_env_detected() -> bool:
+    """True when a cluster launcher's env is present, in which case
+    jax.distributed.initialize() can auto-detect all three arguments
+    (GKE/Cloud-TPU pod, SLURM, Open MPI)."""
+    import os
+    markers = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+               "TPU_WORKER_HOSTNAMES", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")
+    return any(os.environ.get(m) for m in markers)
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Bring up jax.distributed when running multi-process; no-op when
     single-process (nothing to rendezvous) or already initialized.
 
-    On TPU pods launched through standard tooling (GKE/ray/mpi), all three
-    arguments are auto-detected by JAX and may be left None.
+    Triggering requires either an explicit coordinator_address /
+    num_processes>1, or a recognized cluster launcher environment
+    (_pod_env_detected) — in the latter case all three arguments are
+    auto-detected by JAX and may be left None. A bare single-process run
+    (no args, no pod env) is a no-op.
     """
-    if num_processes in (None, 1) and coordinator_address is None:
+    if (num_processes in (None, 1) and coordinator_address is None
+            and not _pod_env_detected()):
         return  # single-process run
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,

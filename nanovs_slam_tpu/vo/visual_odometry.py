@@ -152,7 +152,11 @@ class VisualOdometry:
             # fall back to top-N ranking so pose estimation is never
             # starved by a miscalibrated absolute threshold (same policy
             # as the trainer's keypoint-eval threshold fallback)
+            # but never admit conf==0 pairs: coarse_match zeroes exactly
+            # the pairs that FAILED the mutual-NN check, so they are
+            # known-wrong correspondences, not merely low-confidence ones
             keep = np.argsort(-conf)[:self.DENSE_MIN_MATCHES]
+            keep = keep[conf[keep] > 0.0]
         self.fmap_prev = fmap
         return kp0[keep], kp1[keep]
 

@@ -25,6 +25,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiering (VERDICT r2 weak #8): the full suite takes >30 min on one CPU
+# core (XLA CPU-mesh compiles dominate). Tests marked `slow` — torch-parity
+# vs the live reference checkout, subprocess dryruns, export round-trips,
+# e2e training loops — are SKIPPED by default so `pytest -q` stays a <5 min
+# feedback loop. Run everything with `pytest --runslow` (or RUN_SLOW=1).
+# ---------------------------------------------------------------------------
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full-suite mode)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: expensive test (heavy XLA compile, subprocess, "
+        "torch parity); skipped unless --runslow or RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: opt in with --runslow / RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def rng():

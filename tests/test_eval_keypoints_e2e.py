@@ -16,6 +16,8 @@ from nanovs_slam_tpu.evaluation.keypoints import evaluate_keypoint_net
 from nanovs_slam_tpu.inference import make_infer_fn
 from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
 
+pytestmark = pytest.mark.slow
+
 cv2 = pytest.importorskip("cv2")
 
 

@@ -14,6 +14,8 @@ from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
 from nanovs_slam_tpu.quant import (dequantize_params, fake_quant_params,
                                    quantize_params_int8)
 
+pytestmark = pytest.mark.slow
+
 H, W = 48, 64
 
 

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from nanovs_slam_tpu.ops.pallas.fused_stem import fused_stem_pair_pool
 
+pytestmark = pytest.mark.slow
+
 
 def _xla_ref(x, w1, b1, w2, b2):
     from flax import linen as nn

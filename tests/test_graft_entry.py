@@ -7,9 +7,12 @@ reproduces the driver's invocation: a fresh subprocess with NO external
 platform forcing (we scrub the conftest env).
 """
 
+import pytest
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -3,6 +3,7 @@ scales, the int8 context lowers convs to int8 x int8 -> int32, outputs stay
 close to f32, and the lowered graph actually contains integer convolutions.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from nanovs_slam_tpu import quant
 from nanovs_slam_tpu.configs import get_config
 from nanovs_slam_tpu.inference import make_infer_fn
 from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(H=64, W=96, n_classes=7):

@@ -16,8 +16,9 @@ from nanovs_slam_tpu.utils.torch_import_former import \
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/src"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REF),
+                                 reason="reference not available")]
 if REF not in sys.path:
     sys.path.insert(0, REF)
 

@@ -12,6 +12,8 @@ from nanovs_slam_tpu.matching.configs import LIGHTGLUE_CONFIGS
 from nanovs_slam_tpu.matching.lightglue import LightGlue
 from nanovs_slam_tpu.ops.pallas.lightglue_kernel import FusedLightGlue
 
+pytestmark = pytest.mark.slow
+
 K = 64  # small K so interpret mode stays fast
 
 

@@ -17,6 +17,8 @@ from nanovs_slam_tpu.parallel.spatial import (spatial_forward,
 from nanovs_slam_tpu.parallel.tp import (lightglue_param_specs,
                                          tp_lightglue_forward)
 
+pytestmark = pytest.mark.slow
+
 
 def _compiled_text(lowered) -> str:
     return lowered.compile().as_text()

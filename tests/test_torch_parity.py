@@ -23,8 +23,9 @@ from nanovs_slam_tpu.utils.torch_import import convert_state_dict
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/src"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REF),
+                                 reason="reference repo not available")]
 if REF not in sys.path:
     sys.path.insert(0, REF)
 

@@ -8,6 +8,7 @@
   stalled metric and the optimizer state picks up the new LR.
 """
 
+import pytest
 import argparse
 
 import jax
@@ -25,6 +26,8 @@ from nanovs_slam_tpu.train.train_step import (create_train_state,
                                               get_learning_rate,
                                               make_optimizer,
                                               set_learning_rate)
+
+pytestmark = pytest.mark.slow
 
 
 def test_homography_to_pixel_matches_warp():

@@ -13,6 +13,8 @@ from nanovs_slam_tpu.vo.camera import PinholeCamera, kitti_params
 from nanovs_slam_tpu.vo.pose import calculate_pose_error
 from nanovs_slam_tpu.vo.visual_odometry import VisualOdometry
 
+pytestmark = pytest.mark.slow
+
 cv2 = pytest.importorskip("cv2")
 
 

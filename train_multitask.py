@@ -134,6 +134,14 @@ def get_dataset(args, train_config, size):
 
 def main():
     args = parse_args()
+    # Multi-host bring-up MUST precede every other JAX API call: once the
+    # local backend initializes (first PRNGKey / device query), a later
+    # jax.distributed.initialize() either raises or leaves jax.devices()
+    # host-local. No-op for single-process runs.
+    from nanovs_slam_tpu.parallel.distributed import initialize
+    initialize(coordinator_address=args.coordinator_address,
+               num_processes=args.num_processes,
+               process_id=args.process_id)
     train_config = {"cocostuff": COCOSTUFF_CONFIG,
                     "cityscapes": CITYSCAPES_CONFIG,
                     "synthetic": SYNTHETIC_CONFIG}[args.dataset_name].copy()
@@ -198,17 +206,30 @@ def main():
 
     dataset, dataset_val = get_dataset(args, train_config, size)
     d_f = cfg.cell // 2
+    # Multi-host input pipeline: each process loads ONLY its shard of the
+    # global batch; host_local_batch_to_global assembles the global
+    # jax.Array per step with zero cross-host data movement.
+    from nanovs_slam_tpu.parallel.distributed import (
+        host_local_batch_to_global, process_local_batch_size)
+    multihost = jax.process_count() > 1
+    local_bs = process_local_batch_size(args.batch_size)
     if args.device_cache:
         from nanovs_slam_tpu.data.device_cache import DeviceCachedPairLoader
 
-        loader = DeviceCachedPairLoader(dataset, args.batch_size, H, W,
+        if multihost:
+            raise SystemExit("--device_cache assembles batches on the local "
+                             "device set and is single-process only; drop it "
+                             "for multi-host runs")
+        loader = DeviceCachedPairLoader(dataset, local_bs, H, W,
                                         d_f=d_f, train=True, seed=args.seed,
                                         with_depth=args.depth)
         print(f"device cache: {loader.n} items, "
               f"{loader.nbytes() / 1e6:.1f} MB resident in HBM")
     else:
-        loader = PairLoader(dataset, args.batch_size, H, W, d_f=d_f,
-                            train=True, seed=args.seed,
+        # per-host data seed so processes draw disjoint augmentations
+        loader = PairLoader(dataset, local_bs, H, W, d_f=d_f,
+                            train=True,
+                            seed=args.seed + 1000 * jax.process_index(),
                             with_depth=args.depth)
     steps_per_epoch = len(loader)
     if args.max_steps_per_epoch:
@@ -245,11 +266,6 @@ def main():
         print(f"Restored model from {args.model_path} "
               f"(epoch {meta.get('epoch')})")
 
-    # multi-host bring-up: no-op single-process, rendezvous on pods
-    from nanovs_slam_tpu.parallel.distributed import initialize
-    initialize(coordinator_address=args.coordinator_address,
-               num_processes=args.num_processes,
-               process_id=args.process_id)
     n_dev = args.num_devices or jax.device_count()
     mesh = make_mesh(n_dev)
     state = replicate(mesh, state)
@@ -289,7 +305,8 @@ def main():
             if i >= steps_per_epoch:
                 break
             if not args.device_cache:
-                batch = shard_batch(mesh, batch)
+                batch = (host_local_batch_to_global(mesh, batch)
+                         if multihost else shard_batch(mesh, batch))
             state, metrics = step_fn(state, batch, weights,
                                      jax.random.fold_in(epoch_rng, i))
             # fetching a metric synchronizes the async dispatch pipeline —
