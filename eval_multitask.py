@@ -139,10 +139,15 @@ def main():
     results = {}
 
     if args.keypoints:
-        from nanovs_slam_tpu.data.hpatches import HPatchesDataset
+        from nanovs_slam_tpu.data.hpatches import (HPatchesDataset,
+                                                   ensure_synthetic_hpatches)
         from nanovs_slam_tpu.evaluation.keypoints import evaluate_keypoint_net
 
         root = paths.get("hpatches_data_path")
+        if not (root and os.path.isdir(root)):
+            print("hpatches_data_path missing; using the synthetic "
+                  "discriminative fixture (40 graded-warp pairs)")
+            root = ensure_synthetic_hpatches()
         if root and os.path.isdir(root):
             infer = make_infer_fn(model, cfg, H, W,
                                   use_pallas=True if args.use_pallas

@@ -27,6 +27,25 @@ def scale_homography(homography: np.ndarray, original_scale, new_scale,
     return homography @ sinv
 
 
+def ensure_synthetic_hpatches(root: str = "fixtures/hpatches_synth",
+                              seed: int = 0) -> str:
+    """Generate (once, deterministically) the discriminative synthetic
+    HPatches fixture — 8 texture families x 5 graded-strength warps = 40
+    pairs (scripts/make_synthetic_hpatches.py). Used as the keypoint-eval
+    fallback when no real HPatches checkout is configured; the fixture is
+    seeded so every machine regenerates identical data."""
+    marker = os.path.join(root, "v_synth07", "H_1_6")
+    if not os.path.exists(marker):
+        import subprocess
+        import sys as _sys
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "scripts", "make_synthetic_hpatches.py")
+        subprocess.run([_sys.executable, script, root, "--seed", str(seed)],
+                       check=True)
+    return root
+
+
 class HPatchesDataset:
     """Yields {image, image_aug (1,H,W,3) in [-1,1], homography (3,3)}."""
 

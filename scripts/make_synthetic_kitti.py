@@ -18,7 +18,11 @@ import numpy as np
 
 def make_sequence(out_dir: str, n_frames: int = 12, W_img: int = 1241,
                   H_img: int = 376, step_px: float = 40.0, Z: float = 20.0,
-                  seed: int = 0):
+                  seed: int = 0, gray: bool = False):
+    """gray=True writes R=G=B frames: the reference VO feeds raw
+    cv2-BGR frames to the net (evaluation/visual_odometry.py:248,77 — no
+    BGR->RGB conversion) while this framework feeds RGB; a gray texture
+    makes the two pipelines' inputs identical for parity runs."""
     import cv2
 
     fx = 718.856  # KITTI intrinsics (vo/camera.py kitti_params)
@@ -34,6 +38,9 @@ def make_sequence(out_dir: str, n_frames: int = 12, W_img: int = 1241,
         c = tuple(int(v) for v in rs.randint(0, 255, 3))
         cv2.rectangle(big, (x, y), (x + rs.randint(4, 30),
                                     y + rs.randint(4, 30)), c, -1)
+    if gray:
+        g = cv2.cvtColor(big, cv2.COLOR_BGR2GRAY)
+        big = np.repeat(g[..., None], 3, axis=-1)
 
     t_step = step_px * Z / fx  # metres per frame for the GT scale
     os.makedirs(out_dir, exist_ok=True)

@@ -1,0 +1,274 @@
+#!/usr/bin/env python
+"""Pipeline-level parity harness (VERDICT r2 "Next round" #1, the
+BASELINE.md bar).
+
+Runs the REFERENCE's own eval code (/root/reference/src/evaluation/
+keypoints.py:57-175 and visual_odometry.py:200-332) with the reference's
+own torch models, side-by-side with THIS framework, from IDENTICAL
+weights on IDENTICAL fixture data, and compares the resulting METRICS —
+not just tensors.
+
+Weights: either a checkpoint trained in this framework (--ckpt, exported
+into torch via utils/torch_export) or the torch random init imported into
+JAX (--random). An optional --score-bias SHIFT is added to the score-head
+bias in BOTH stacks (rank-preserving sigmoid shift) so the reference's
+hard 0.7 confidence gates pass on under-calibrated checkpoints.
+
+Fixtures: the discriminative synthetic HPatches set (40 graded-warp
+pairs) and the synthetic KITTI video (gray texture — the reference VO
+feeds cv2-BGR frames to the net while we feed RGB; gray makes both
+identical).
+
+Determinism: cv2.setRNGSeed before each stack's eval pins the RANSAC
+draws (findHomography / USAC_MSAC findEssentialMat).
+
+Usage:
+  python tools/pipeline_parity.py --task keypoints [--ckpt CKPT] [--top-k 300]
+  python tools/pipeline_parity.py --task vo [--ckpt CKPT] [--frames 30]
+Writes artifacts/pipeline_parity_<task>.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "")  # use TPU if available for ours
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _HERE)
+sys.path.insert(0, _REPO)
+
+import numpy as np  # noqa: E402
+
+import ref_shims  # noqa: E402
+
+N_CLASSES = 8
+CONFIG = "N"
+EVAL_W, EVAL_H = 320, 240  # reference eval_multitask default output_shape
+
+
+def build_weight_pair(ckpt=None, score_bias=0.0, seed=0):
+    """Returns (tmodel, cfg, variables) with identical weights."""
+    ref_shims.install()
+    import torch
+
+    from kp2dtiny.models.kp2dtiny import KP2DTinyV2
+
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model  # noqa: F401
+    from nanovs_slam_tpu.utils.torch_export import load_into_torch_model
+    from nanovs_slam_tpu.utils.torch_import import convert_state_dict
+
+    cfg = get_config(CONFIG, v3=False, n_classes=N_CLASSES)
+    torch.manual_seed(seed)
+    kw = dict(nClasses=N_CLASSES, nfeatures=cfg.nfeatures,
+              channel_dims=list(cfg.channel_dims),
+              downsample=cfg.downsample, use_attention=cfg.use_attention,
+              leaky_relu=cfg.leaky_relu, num_clusters=cfg.num_clusters,
+              encoder_dim=cfg.encoder_dim,
+              global_descriptor_method=cfg.global_descriptor_method,
+              upscale_method=cfg.upscale_method, depth=False)
+    tmodel = KP2DTinyV2(**kw).eval()
+
+    if ckpt:
+        from nanovs_slam_tpu.utils.checkpoint import load_checkpoint
+
+        tree, meta = load_checkpoint(ckpt)
+        params, batch_stats = tree["params"], tree.get("batch_stats", {})
+        load_into_torch_model(tmodel, params, batch_stats)
+        print(f"loaded {ckpt} into BOTH stacks (epoch {meta.get('epoch')})")
+    else:
+        params, batch_stats = convert_state_dict(tmodel.state_dict())
+        print("using torch random init in BOTH stacks")
+
+    if score_bias:
+        import jax
+
+        def shift(tree):
+            # score head final conv bias: score_head/out/bias in ours
+            def f(path, x):
+                keys = "/".join(str(p) for p in path)
+                if "score" in keys and keys.endswith("bias") and x.ndim == 1 \
+                        and x.shape[0] == 1:
+                    print(f"  score-bias +{score_bias}: {keys}")
+                    return x + score_bias
+                return x
+            return jax.tree_util.tree_map_with_path(
+                lambda p, x: f([getattr(q, 'key', q) for q in p], x), tree)
+
+        params = shift(params)
+        with_t = [k for k in tmodel.state_dict() if "score" in k
+                  and k.endswith("bias")]
+        sd = tmodel.state_dict()
+        import torch as _t
+        for k in with_t:
+            if sd[k].numel() == 1:
+                sd[k] = sd[k] + score_bias
+                print(f"  score-bias +{score_bias}: torch {k}")
+        tmodel.load_state_dict(sd)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    return tmodel, cfg, variables
+
+
+# ---------------------------------------------------------------- keypoints
+
+def ref_keypoint_eval(tmodel, items, top_k):
+    import cv2
+    import torch
+
+    ref_kp, _ = ref_shims.import_ref_eval()
+
+    def loader():
+        for it in items:
+            yield {
+                "image": torch.from_numpy(
+                    np.ascontiguousarray(
+                        it["image"].transpose(0, 3, 1, 2))).float(),
+                "image_aug": torch.from_numpy(
+                    np.ascontiguousarray(
+                        it["image_aug"].transpose(0, 3, 1, 2))).float(),
+                "homography": torch.from_numpy(
+                    np.asarray(it["homography"]))[None].float(),
+            }
+
+    cv2.setRNGSeed(0)
+    rep, loc, c1, c3, c5, ms, auc = ref_kp.evaluate_keypoint_net(
+        loader(), tmodel, output_shape=(EVAL_W, EVAL_H), top_k=top_k)
+    return {"repeatability": float(rep), "localization_error": float(loc),
+            "correctness1": float(c1), "correctness3": float(c3),
+            "correctness5": float(c5), "mscore": float(ms),
+            "homography_auc": {str(k): float(v) for k, v in auc.items()}}
+
+
+def our_keypoint_eval(variables, cfg, items, top_k):
+    import cv2
+
+    from nanovs_slam_tpu.evaluation.keypoints import evaluate_keypoint_net
+    from nanovs_slam_tpu.inference import make_infer_fn
+
+    infer = make_infer_fn(
+        __import__("nanovs_slam_tpu.models.kp2dtiny",
+                   fromlist=["build_model"]).build_model(cfg),
+        cfg, EVAL_H, EVAL_W)
+
+    def infer_np(images):
+        out = infer(variables, images)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    cv2.setRNGSeed(0)
+    r = evaluate_keypoint_net(items, infer_np, output_shape=(EVAL_W, EVAL_H),
+                              top_k=top_k)
+    r["homography_auc"] = {str(k): float(v)
+                           for k, v in r["homography_auc"].items()}
+    return r
+
+
+def run_keypoints(args):
+    from nanovs_slam_tpu.data.hpatches import (HPatchesDataset,
+                                               ensure_synthetic_hpatches)
+
+    tmodel, cfg, variables = build_weight_pair(args.ckpt, args.score_bias)
+    root = args.hpatches or ensure_synthetic_hpatches()
+    ds = HPatchesDataset(root, (EVAL_W, EVAL_H))
+    items = list(ds)
+    if args.max_items:
+        items = items[: args.max_items]
+    print(f"{len(items)} fixture pairs @ {EVAL_W}x{EVAL_H}")
+
+    ours = our_keypoint_eval(variables, cfg, items, args.top_k)
+    print("ours:", {k: v for k, v in ours.items() if not isinstance(v, dict)})
+    ref = ref_keypoint_eval(tmodel, items, args.top_k)
+    print("ref: ", {k: v for k, v in ref.items() if not isinstance(v, dict)})
+
+    deltas = {k: abs(ours[k] - ref[k]) for k in ref
+              if not isinstance(ref[k], dict)}
+    print("abs deltas:", deltas)
+    return {"reference": ref, "ours": ours, "deltas": deltas,
+            "top_k": args.top_k, "n_pairs": len(items),
+            "ckpt": args.ckpt, "score_bias": args.score_bias}
+
+
+# ----------------------------------------------------------------------- vo
+
+def run_vo(args):
+    import cv2
+
+    from nanovs_slam_tpu.vo.frontend import KP2DtinyFrontend
+    from nanovs_slam_tpu.vo.visual_odometry import evaluate_visual_odometry
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from make_synthetic_kitti import make_sequence
+
+    tmodel, cfg, variables = build_weight_pair(args.ckpt, args.score_bias)
+
+    fixture = os.path.join(_REPO, "fixtures", "kitti_synth_gray")
+    if not os.path.exists(os.path.join(fixture, "06.txt")):
+        make_sequence(fixture, args.frames, gray=True)
+        print(f"generated gray KITTI fixture: {args.frames} frames")
+
+    _, ref_vo = ref_shims.import_ref_eval()
+
+    from nanovs_slam_tpu.models.kp2dtiny import build_model
+
+    # ours
+    cv2.setRNGSeed(0)
+    frontend = KP2DtinyFrontend(build_model(cfg), cfg, variables,
+                                (args.size[0], args.size[1]),
+                                nn_thresh=0.7, top_k=4000)
+    ours = evaluate_visual_odometry(
+        frontend, fixture, "06.txt", "06.mp4",
+        new_size=args.size, verbose=True, matcher="bf")
+
+    # reference (torch, full-res frames resized by the kornia shim)
+    cv2.setRNGSeed(0)
+    tmodel.training = False
+    ref = ref_vo.evaluate_visual_odometry(
+        tmodel, fixture, "06.txt", "06.mp4", "cpu",
+        new_size=args.size, verbose=True)
+
+    def flat(d):
+        return {f"{k}_{kk}": float(vv) for k, v in d.items()
+                if isinstance(v, dict) for kk, vv in v.items()} | {
+                k: float(v) for k, v in d.items() if np.isscalar(v)}
+
+    fo, fr = flat(ours), flat(ref)
+    rel = {}
+    for k in fr:
+        if k in fo:
+            denom = max(abs(fr[k]), 1e-9)
+            rel[k] = abs(fo[k] - fr[k]) / denom
+    print("ours:", fo)
+    print("ref: ", fr)
+    print("rel deltas:", {k: round(v, 4) for k, v in rel.items()})
+    return {"reference": fr, "ours": fo, "rel_deltas": rel,
+            "frames": args.frames, "size": list(args.size),
+            "ckpt": args.ckpt, "score_bias": args.score_bias}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["keypoints", "vo"], required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--score-bias", type=float, default=0.0)
+    ap.add_argument("--top-k", type=int, default=300)
+    ap.add_argument("--vo-top-k", type=int, default=1000)
+    ap.add_argument("--max-items", type=int, default=0)
+    ap.add_argument("--hpatches", default=None)
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--size", type=int, nargs=2, default=(184, 616),
+                    help="VO inference H W (must be cell-divisible)")
+    args = ap.parse_args()
+
+    res = (run_keypoints if args.task == "keypoints" else run_vo)(args)
+    os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
+    out = os.path.join(_REPO, "artifacts", f"pipeline_parity_{args.task}.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
