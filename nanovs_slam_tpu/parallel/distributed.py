@@ -31,13 +31,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _pod_env_detected() -> bool:
-    """True when a cluster launcher's env is present, in which case
-    jax.distributed.initialize() can auto-detect all three arguments
-    (GKE/Cloud-TPU pod, SLURM, Open MPI)."""
+    """True when a MULTI-process cluster launcher env is present, in which
+    case jax.distributed.initialize() can auto-detect all three arguments
+    (GKE/Cloud-TPU pod, SLURM, Open MPI). Single-worker markers (e.g. the
+    one-hostname TPU_WORKER_HOSTNAMES a tunneled single chip sets) do NOT
+    count — auto-init with no coordinator would raise."""
     import os
-    markers = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-               "TPU_WORKER_HOSTNAMES", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")
-    return any(os.environ.get(m) for m in markers)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hosts:
+        return True  # real pod: >1 worker hostname
+    if int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+        return True
+    if int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")) > 1:
+        return True
+    return False
 
 
 def initialize(coordinator_address: Optional[str] = None,

@@ -190,3 +190,37 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
           for k, v in sd.items()}
     params, batch_stats = convert_state_dict(sd)
     return params, batch_stats, blob.get("config", {})
+
+
+def convert_inlier_net_state_dict(sd):
+    """torch InlierNet state_dict -> (params, batch_stats) for our
+    models/inlier_net.InlierNet (reference src/kp2dtiny/models/
+    inlier_net.py:11-50 layout: 1x1 convs + instance norms)."""
+    def dense(w):  # (out, in, 1, 1) -> (in, out)
+        return np.asarray(w)[:, :, 0, 0].T.astype(np.float32)
+
+    p = {
+        "p_in_conv": {"kernel": dense(sd["p_in.0.weight"])},
+        "p_in_bn": {"scale": np.asarray(sd["p_in.1.weight"]),
+                    "bias": np.asarray(sd["p_in.1.bias"])},
+        "p_out": {"kernel": dense(sd["p_out.weight"]),
+                  "bias": np.asarray(sd["p_out.bias"])},
+    }
+    bs = {
+        "p_in_bn": {"mean": np.asarray(sd["p_in.1.running_mean"]),
+                    "var": np.asarray(sd["p_in.1.running_var"])},
+    }
+    for i in range(4):
+        p[f"b{i}_conv0"] = {"kernel": dense(sd[f"{i}s0.weight"]),
+                            "bias": np.asarray(sd[f"{i}s0.bias"])}
+        p[f"b{i}_bn0"] = {"scale": np.asarray(sd[f"{i}s1.weight"]),
+                          "bias": np.asarray(sd[f"{i}s1.bias"])}
+        p[f"b{i}_conv1"] = {"kernel": dense(sd[f"{i}s2.weight"]),
+                            "bias": np.asarray(sd[f"{i}s2.bias"])}
+        p[f"b{i}_bn1"] = {"scale": np.asarray(sd[f"{i}s3.weight"]),
+                          "bias": np.asarray(sd[f"{i}s3.bias"])}
+        bs[f"b{i}_bn0"] = {"mean": np.asarray(sd[f"{i}s1.running_mean"]),
+                           "var": np.asarray(sd[f"{i}s1.running_var"])}
+        bs[f"b{i}_bn1"] = {"mean": np.asarray(sd[f"{i}s3.running_mean"]),
+                           "var": np.asarray(sd[f"{i}s3.running_var"])}
+    return p, bs

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Matcher benchmark: trained LightGlue vs BF ratio-test on HELD-OUT
+homography pairs (VERDICT r2 "Next round" #4 — "a LightGlue that earns
+its keep").
+
+Protocol: sample pairs the matcher trainer never saw (different RNG
+stream + optionally the discriminative HPatches fixture textures),
+extract fixed-K keypoints/descriptors with the SAME frozen extractor,
+compute reprojection ground truth (mutual-NN within 3 px), then match
+with (a) the BF ratio-test one-to-one matcher the VO pipeline defaults
+to and (b) the trained LightGlue, and report precision / recall / F1 of
+predicted correspondences vs GT (a predicted pair is correct when the
+warped kp0 lands within 3 px of kp1).
+
+Usage:
+  python tools/matcher_benchmark.py --lg-ckpt lightglue_ckpt \
+      [--extractor-ckpt model_ckpt/r3_long] [--pairs 64]
+Writes artifacts/matcher_benchmark.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+import numpy as np  # noqa: E402
+
+
+def pair_pr(kp0, kp1, i0, i1, H_pix, th=3.0):
+    """precision/recall of predicted index pairs vs reprojection GT."""
+    from nanovs_slam_tpu.matching.extractor import warp_points_np
+
+    if len(i0) == 0:
+        return 0.0, 0.0, 0
+    w = warp_points_np(kp0[i0], H_pix)
+    correct = np.linalg.norm(w - kp1[i1], axis=-1) < th
+    # recall base: how many kp0 HAVE a true counterpart within th
+    w_all = warp_points_np(kp0, H_pix)
+    d = np.linalg.norm(w_all[:, None] - kp1[None], axis=-1)
+    has_gt = (d.min(axis=1) < th)
+    n_gt = int(has_gt.sum())
+    precision = float(correct.mean())
+    recall = float(correct.sum() / max(n_gt, 1))
+    return precision, recall, n_gt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lg-ckpt", required=True)
+    ap.add_argument("--extractor-ckpt", default=None)
+    ap.add_argument("--extractor-config", default="N")
+    ap.add_argument("--n-classes", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=64)
+    ap.add_argument("--im-h", type=int, default=120)
+    ap.add_argument("--im-w", type=int, default=160)
+    ap.add_argument("--max-keypoints", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=777)  # held-out stream
+    ap.add_argument("--ratio", type=float, default=0.9)
+    ap.add_argument("--lg-threshold", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.data.datasets import SyntheticShapesDataset
+    from nanovs_slam_tpu.data.homography import (homography_warp_image,
+                                                 sample_homography)
+    from nanovs_slam_tpu.matching.configs import LIGHTGLUE_CONFIGS
+    from nanovs_slam_tpu.matching.extractor import make_extractor
+    from nanovs_slam_tpu.matching.lightglue import (LightGlue,
+                                                    normalize_keypoints)
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.utils.checkpoint import load_checkpoint
+    from nanovs_slam_tpu.vo.matcher import ratio_test_match_one_to_one
+
+    H, W, K = args.im_h, args.im_w, args.max_keypoints
+    rs = np.random.RandomState(args.seed)
+
+    cfg = get_config(args.extractor_config, n_classes=args.n_classes)
+    ex_model = build_model(cfg)
+    params, bs = init_model(ex_model, jax.random.PRNGKey(0), (1, H, W, 3))
+    if args.extractor_ckpt:
+        tree, _ = load_checkpoint(args.extractor_ckpt)
+        params, bs = tree["params"], tree["batch_stats"]
+    ex_vars = {"params": params, "batch_stats": bs}
+    extract = make_extractor(ex_model, cfg, H, W, max_keypoints=K)
+
+    lg_tree, lg_meta = load_checkpoint(args.lg_ckpt)
+    lg_cfg = LIGHTGLUE_CONFIGS.get(
+        (lg_meta or {}).get("lg_config", "kp2dtiny_S"),
+        LIGHTGLUE_CONFIGS["kp2dtiny_S"])
+    if lg_cfg.input_dim != cfg.nfeatures:
+        import dataclasses
+        lg_cfg = dataclasses.replace(lg_cfg, input_dim=cfg.nfeatures,
+                                     descriptor_dim=cfg.nfeatures)
+    import dataclasses
+    lg_cfg = dataclasses.replace(lg_cfg,
+                                 filter_threshold=args.lg_threshold)
+    matcher = LightGlue(lg_cfg)
+    lg_params = lg_tree["params"]
+
+    @jax.jit
+    def lg_match(data):
+        return matcher.apply({"params": lg_params}, data, False)
+
+    dataset = SyntheticShapesDataset((H, W), 128, 8, seed=args.seed)
+    warp = jax.jit(lambda im, h: homography_warp_image(im, h,
+                                                       mode="bilinear"))
+    S = np.array([[(W - 1) / 2, 0, (W - 1) / 2],
+                  [0, (H - 1) / 2, (H - 1) / 2],
+                  [0, 0, 1]], np.float64)
+
+    rows = {"bf": [], "lightglue": []}
+    for i in range(args.pairs):
+        img = dataset[i % len(dataset)]["image"]
+        Hn = sample_homography((H, W), rs).astype(np.float64)
+        imgs = jnp.asarray(img[None], jnp.float32)
+        warped = warp(imgs, jnp.asarray(Hn[None].astype(np.float32)))
+        e0 = extract(ex_vars, imgs * 2 - 1)
+        e1 = extract(ex_vars, warped * 2 - 1)
+        kp0 = np.asarray(e0["keypoints"][0])
+        kp1 = np.asarray(e1["keypoints"][0])
+        m0 = np.asarray(e0["mask"][0]).astype(bool)
+        m1 = np.asarray(e1["mask"][0]).astype(bool)
+        d0 = np.asarray(e0["descriptors"][0])
+        d1 = np.asarray(e1["descriptors"][0])
+        H_pix = S @ np.linalg.inv(Hn) @ np.linalg.inv(S)
+
+        # (a) BF ratio test, restricted to valid keypoints
+        v0, v1 = np.where(m0)[0], np.where(m1)[0]
+        i0, i1, _ = ratio_test_match_one_to_one(d0[v0], d1[v1],
+                                                ratio=args.ratio)
+        p, r, n_gt = pair_pr(kp0, kp1, v0[i0], v1[i1], H_pix)
+        rows["bf"].append((p, r, len(i0), n_gt))
+
+        # (b) LightGlue
+        data = {
+            "keypoints0": normalize_keypoints(e0["keypoints"], (W, H)),
+            "keypoints1": normalize_keypoints(e1["keypoints"], (W, H)),
+            "descriptors0": e0["descriptors"],
+            "descriptors1": e1["descriptors"],
+            "mask0": e0["mask"], "mask1": e1["mask"],
+        }
+        pred = lg_match(data)
+        match0 = np.asarray(pred["matches0"][0])
+        sel = np.where(match0 >= 0)[0]
+        p, r, n_gt = pair_pr(kp0, kp1, sel, match0[sel], H_pix)
+        rows["lightglue"].append((p, r, len(sel), n_gt))
+
+    out = {}
+    for name, rws in rows.items():
+        ps, rcs, ns, gts = map(np.array, zip(*rws))
+        f1 = 2 * ps * rcs / np.maximum(ps + rcs, 1e-9)
+        out[name] = {"precision": float(ps.mean()),
+                     "recall": float(rcs.mean()),
+                     "f1": float(f1.mean()),
+                     "mean_matches": float(ns.mean()),
+                     "mean_gt": float(gts.mean())}
+        print(name, out[name])
+
+    out["config"] = vars(args)
+    os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
+    path = os.path.join(_REPO, "artifacts", "matcher_benchmark.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,7 @@ def run_torch(batches, eval_img, log_every, no_drop=False):
             if isinstance(m, torch.nn.Dropout2d):
                 m.p = 0.0
     sd0 = {k: v.clone() for k, v in model.keypoint_net.state_dict().items()}
+    io_sd0 = {k: v.clone() for k, v in model.io_net.state_dict().items()}
     opt = torch.optim.Adam(model.optim_params, lr=LR)
 
     ev = torch.from_numpy(eval_img.transpose(2, 0, 1))[None]
@@ -121,10 +122,11 @@ def run_torch(batches, eval_img, log_every, no_drop=False):
                       **score_stats(eval_scores()))
             traj.append(st)
             print("torch", st, flush=True)
-    return sd0, traj
+    return (sd0, io_sd0), traj
 
 
-def run_jax(batches, eval_img, sd0, log_every, no_drop=False):
+def run_jax(batches, eval_img, sds, log_every, no_drop=False):
+    sd0, io_sd0 = sds
     import jax
     import jax.numpy as jnp
 
@@ -134,7 +136,8 @@ def run_jax(batches, eval_img, sd0, log_every, no_drop=False):
     from nanovs_slam_tpu.train.train_step import (create_train_state,
                                                   make_optimizer,
                                                   make_train_step)
-    from nanovs_slam_tpu.utils.torch_import import convert_state_dict
+    from nanovs_slam_tpu.utils.torch_import import (
+        convert_inlier_net_state_dict, convert_state_dict)
 
     cfg = get_config(CONFIG, v3=False, n_classes=N_CLASSES)
     if no_drop:
@@ -147,9 +150,13 @@ def run_jax(batches, eval_img, sd0, log_every, no_drop=False):
                                        with_io=True, io_top_k=300)
     params, batch_stats = convert_state_dict(sd0)
     from nanovs_slam_tpu.utils.checkpoint import merge_params
+    io_params, io_bs = convert_inlier_net_state_dict(io_sd0)
     state = state.replace(params=merge_params(state.params, params),
                           batch_stats=merge_params(state.batch_stats,
-                                                   batch_stats))
+                                                   batch_stats),
+                          io_params=merge_params(state.io_params, io_params),
+                          io_batch_stats=merge_params(state.io_batch_stats,
+                                                      io_bs))
     flags = {"keypoints": True, "segmentation": False, "visloc": False,
              "depth": False}
     step_fn = make_train_step(model, cfg, H, W, io_net=io_net,
