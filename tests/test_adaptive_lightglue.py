@@ -7,6 +7,7 @@
 - early exit actually triggers on easy (identical-descriptor) problems.
 """
 
+import pytest
 import dataclasses
 
 import jax
@@ -38,6 +39,7 @@ def _make(n_layers=4, dim=32, N=64, seed=0):
     return model, params, data
 
 
+@pytest.mark.slow
 def test_full_depth_matches_monolithic():
     model, params, data = _make()
     pred_full = model.apply({"params": params}, data)

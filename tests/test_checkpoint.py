@@ -1,5 +1,6 @@
 """Checkpoint save/restore + partial-restore filtering + optimizer mask."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from nanovs_slam_tpu.utils.checkpoint import (filter_params, load_checkpoint,
                                               merge_params, save_checkpoint)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = get_config("N", n_classes=7)
     model = build_model(cfg)

@@ -1,6 +1,7 @@
 """Device-resident dataset cache: batch assembly on device matches the
 host PairLoader contract (shapes/ranges/homography semantics)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,7 @@ def test_device_cache_eval_mode_deterministic():
         np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.slow
 def test_device_cache_trains_one_step():
     import jax
 

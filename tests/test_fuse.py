@@ -1,5 +1,6 @@
 """Conv+BN folding test: folded model must produce identical eval outputs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ from nanovs_slam_tpu.models.kp2dtiny import build_model
 from nanovs_slam_tpu.utils.fuse import fold_batchnorm
 
 
+@pytest.mark.slow
 def test_fold_batchnorm_output_parity():
     cfg = get_config("N", n_classes=7)
     model = build_model(cfg)

@@ -1,5 +1,6 @@
 """KeypointFormer shape/smoke tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ from nanovs_slam_tpu.models.keypoint_former import (KEYPOINTFORMER_CONFIGS,
 from nanovs_slam_tpu.ops.postprocess import post_process
 
 
+@pytest.mark.slow
 def test_keypoint_former_tiny_shapes():
     cfg = KEYPOINTFORMER_CONFIGS["tiny"].__class__(
         **{**KEYPOINTFORMER_CONFIGS["tiny"].__dict__, "n_classes": 7})
@@ -29,6 +31,7 @@ def test_keypoint_former_tiny_shapes():
     assert float(post["coord"][..., 0].max()) <= W - 1
 
 
+@pytest.mark.slow
 def test_keypoint_former_train_mode():
     cfg = KEYPOINTFORMER_CONFIGS["tiny"]
     model = KeypointFormer(cfg)

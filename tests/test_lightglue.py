@@ -54,6 +54,7 @@ def test_forward_shapes_and_self_match():
     np.testing.assert_array_equal(inner.argmax(1), np.arange(16))
 
 
+@pytest.mark.slow
 def test_masked_padding_invariance():
     """Padded keypoints must not change the valid keypoints' matches."""
     cfg = LightGlueConfig(input_dim=32, descriptor_dim=32, n_layers=2,
@@ -121,6 +122,7 @@ def _stub_omegaconf(monkeypatch):
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference/lightglue"),
                     reason="reference not available")
+@pytest.mark.slow
 def test_parity_vs_reference_lightglue(monkeypatch):
     _stub_omegaconf(monkeypatch)
     if "/root/reference" not in sys.path:

@@ -15,9 +15,15 @@ def n_params(tree):
     return sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree))
 
 
-@pytest.mark.parametrize("name,v3", [("N", False), ("S_A", False),
-                                     ("GEM_N", False), ("CONVAP_S_A", False),
-                                     ("F", False), ("N_A", True), ("S", True)])
+_slow = pytest.mark.slow
+@pytest.mark.parametrize("name,v3", [
+    ("N", False),  # fast default-profile representative
+    pytest.param("S_A", False, marks=_slow),
+    pytest.param("GEM_N", False, marks=_slow),
+    pytest.param("CONVAP_S_A", False, marks=_slow),
+    pytest.param("F", False, marks=_slow),
+    pytest.param("N_A", True, marks=_slow),
+    pytest.param("S", True, marks=_slow)])
 def test_forward_shapes(name, v3):
     # NOTE: GeM's PixelUnshuffle(4) requires the feature map divisible by 4
     # (same constraint as the reference, gem.py:14): 96/cell=24 works.
@@ -47,6 +53,7 @@ def test_forward_shapes(name, v3):
     assert float(post["coord"][..., 1].max()) <= H - 1
 
 
+@pytest.mark.slow
 def test_depth_head():
     cfg = get_config("N", v3=True, n_classes=7, depth=True)
     model = build_model(cfg)
@@ -68,6 +75,7 @@ def test_param_counts_match_reference_scale():
         assert lo < n < hi, (name, n)
 
 
+@pytest.mark.slow
 def test_train_mode_runs_with_dropout():
     cfg = get_config("N", n_classes=8)
     model = build_model(cfg)

@@ -60,6 +60,7 @@ def test_train_step_runs_and_descends():
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_train_step_v3_with_depth():
     cfg, state, step = _setup(v3=True, depth=True)
     hs, ws = 2 * (H // cfg.cell), 2 * (W // cfg.cell)
@@ -70,6 +71,7 @@ def test_train_step_v3_with_depth():
     assert "depth_loss" in metrics
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_mesh():
     """Batch sharded over 8 virtual devices; same math as single-device."""
     assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
@@ -87,6 +89,7 @@ def test_train_step_data_parallel_mesh():
                                float(m2["total_loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_loss_weights_change_no_recompile():
     cfg, state, step = _setup(with_io=False)
     hs, ws = 2 * (H // cfg.cell), 2 * (W // cfg.cell)

@@ -92,6 +92,7 @@ def test_plateau_controller_reduces_lr():
     assert abs(ctl.step(0.6) - 1e-4) < 1e-12
 
 
+@pytest.mark.slow
 def test_plateau_optimizer_injected_lr():
     cfg = get_config("N", n_classes=6)
     model = build_model(cfg)

@@ -34,6 +34,7 @@ class CloudFrontend:
         return uv[ok].astype(np.float32), self.desc[ok], {}
 
 
+@pytest.mark.slow
 def test_vo_lightglue_matching_runs():
     fx, fy, cx, cy = kitti_params()
     cam = PinholeCamera(1241, 376, fx, fy, cx, cy)
