@@ -70,7 +70,10 @@ def _interior(x: Array) -> Array:
 
 
 def masked_mean(x: Array, mask: Array, eps: float = 1e-12) -> Array:
-    m = mask.astype(x.dtype)
+    # broadcast FIRST so numerator and denominator count the same
+    # elements — a (1,Hc,Wc) mask against (B,Hc,Wc) values would
+    # otherwise inflate the mean by B
+    m = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
     return jnp.sum(x * m) / (jnp.sum(m) + eps)
 
 
@@ -210,7 +213,13 @@ def keypoint_losses(out: Dict[str, Array], out_aug: Dict[str, Array],
     tgt_score_resampled = grid_sample_bilinear(
         target_score, jax.lax.stop_gradient(source_uv_warped_norm))
     mse = jnp.square(tgt_score_resampled - source_score)[..., 0]
-    score_mse = masked_mean(mse, border[None])
+    # the mask must be broadcast to the FULL (B,Hc,Wc) shape: with
+    # border[None] alone, masked_mean's denominator misses the batch
+    # factor and the term comes out B-times too strong — found root-causing
+    # the 0.7 score-calibration drift against the reference trainer
+    # (the overweighted consistency term suppressed the USP dynamics that
+    # push good cells' scores up; tools/score_probe.py)
+    score_mse = masked_mean(mse, jnp.broadcast_to(border[None], mse.shape))
 
     return {
         "loc_loss": loc_loss,

@@ -117,3 +117,46 @@ def test_warp_coords_matches_reference_math():
     out = out * (1.0 / out[:, 2].unsqueeze(1))
     expected = out[:, :2].reshape(4, 6, 2).numpy()
     np.testing.assert_allclose(ours[0], expected, atol=1e-5)
+
+
+def test_masked_mean_broadcast_mask_batch_invariant():
+    """Regression: a (1,Hc,Wc) mask against (B,Hc,Wc) values must give the
+    same mean as the explicitly-broadcast mask. The unbroadcast variant
+    inflated score_mse by B (found root-causing the 0.7 score-calibration
+    drift vs the reference trainer, round 3)."""
+    from nanovs_slam_tpu.losses.keypoint import masked_mean
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(8, 6, 7).astype(np.float32))
+    mask = jnp.zeros((6, 7), bool).at[1:-1, 1:-1].set(True)
+    got = float(masked_mean(x, mask[None]))
+    want = float(np.mean(np.asarray(x)[:, 1:-1, 1:-1]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_score_mse_matches_torch_formula():
+    """score_mse must equal the reference's masked MSE over interior
+    cells, averaged over the full batch (KeypointNetwithIOLoss.py:506-520)."""
+    import jax
+
+    from nanovs_slam_tpu.losses.keypoint import keypoint_losses
+
+    rs = np.random.RandomState(1)
+    B, Hc, Wc, H, W = 4, 6, 8, 24, 32
+    mk = lambda: {
+        "score": jnp.asarray(rs.rand(B, Hc, Wc, 1).astype(np.float32)),
+        "coord": jnp.asarray(
+            (rs.rand(B, Hc, Wc, 2) * [W - 1, H - 1]).astype(np.float32)),
+        "feat": jnp.asarray(rs.rand(B, Hc, Wc, 8).astype(np.float32)),
+    }
+    out, out_aug = mk(), mk()
+    homo = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (B, 1, 1))
+    kp = keypoint_losses(out, out_aug, homo, H, W)
+
+    from nanovs_slam_tpu.ops.grid_sample import grid_sample_bilinear
+    res = grid_sample_bilinear(out["score"],
+                               jax.lax.stop_gradient(
+                                   kp["source_uv_warped_norm"]))
+    diff2 = np.asarray(jnp.square(res - out_aug["score"]))[..., 0]
+    want = diff2[:, 1:-1, 1:-1].mean()  # plain mean over batch x interior
+    np.testing.assert_allclose(float(kp["score_mse"]), want, rtol=1e-6)
