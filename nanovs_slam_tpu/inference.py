@@ -28,7 +28,8 @@ def make_infer_fn(model, cfg: KP2DTinyConfig, H: int, W: int,
                   with_seg: bool = True,
                   with_vlad: bool = True,
                   use_pallas: Any = "auto",
-                  int8_scales: Optional[Dict[str, float]] = None):
+                  int8_scales: Optional[Dict[str, float]] = None,
+                  int8_chain: bool = True):
     """Returns infer(variables, images) -> dict, fully jittable.
 
     images: (B, H, W, 3) in [-1, 1] (the reference normalizes (x-0.5)*2,
@@ -50,7 +51,7 @@ def make_infer_fn(model, cfg: KP2DTinyConfig, H: int, W: int,
         if int8_scales is not None:
             from . import quant
 
-            with quant.int8_execution(int8_scales):
+            with quant.int8_execution(int8_scales, chain=int8_chain):
                 return model.apply(variables, images, False)
         return model.apply(variables, images, False)
 

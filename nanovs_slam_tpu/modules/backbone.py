@@ -23,7 +23,14 @@ from .blocks import ConvBNAct, Dropout2d
 Dtype = Any
 
 
-def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+def max_pool_2x2(x):
+    from ..quant import QTensor
+
+    if isinstance(x, QTensor):
+        # max-pool commutes with (positive-scale) quantization: pool the
+        # int8 values directly so the chained tensor stays int8
+        return QTensor(nn.max_pool(x.values, window_shape=(2, 2),
+                                   strides=(2, 2)), x.scale)
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 

@@ -90,12 +90,14 @@ class ConvBNAct(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
         from .. import quant
 
+        path = "/".join(self.path)
+        pre_q = isinstance(x, quant.QTensor)
         padding = ("SAME" if self.kernel_size == 3 and self.stride == 1 else
                    [(self.kernel_size // 2, self.kernel_size // 2)] * 2)
-        if self.is_mutable_collection("intermediates"):
+        if not pre_q and self.is_mutable_collection("intermediates"):
             self.sow("intermediates", "in_absmax",
                      jnp.max(jnp.abs(x.astype(jnp.float32))),
                      reduce_fn=jnp.maximum,
@@ -109,14 +111,14 @@ class ConvBNAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )
-        y = conv(x)
-        scale_in = quant.active_int8_scale("/".join(self.path)) \
-            if not train else None
-        if scale_in is not None:
+        x_f32 = x.values.astype(jnp.float32) * x.scale if pre_q else x
+        y = conv(x_f32)
+        scale_in = quant.active_int8_scale(path) if not train else None
+        if scale_in is not None or pre_q:
             kernel = self.get_variable("params", "conv")["kernel"]
             # replaces the f32 conv result; XLA dead-code-eliminates the
             # unused f32 conv above (its params must still be created)
-            y = quant.int8_conv(x, kernel, scale_in,
+            y = quant.int8_conv(x if pre_q else x_f32, kernel, scale_in,
                                 (self.stride, self.stride), padding)
         y = nn.BatchNorm(
             use_running_average=not train,
@@ -125,7 +127,15 @@ class ConvBNAct(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(y)
-        return act_fn(y, self.leaky_relu)
+        y = act_fn(y, self.leaky_relu)
+        out_scale = quant.active_int8_out_scale(path) if not train else None
+        if out_scale is not None:
+            # chained emission: the consumer's calibrated input scale is
+            # this tensor's scale (pool/eval-dropout between are
+            # value-preserving), so the HBM-resident inter-block tensor
+            # stays int8
+            return quant.quantize_activation(y, out_scale)
+        return y
 
 
 class TransposedConvKernel(nn.Module):
@@ -194,7 +204,11 @@ class Dropout2d(nn.Module):
     rate: float = 0.2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False):
+        from .. import quant
+
+        if isinstance(x, quant.QTensor):  # chained int8, inference-only
+            return x
         return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2))(
             x, deterministic=not train)
 

@@ -37,19 +37,49 @@ Array = jnp.ndarray
 # --- real int8 execution -----------------------------------------------
 # Trace-time context: when active, ConvBNAct consults it and lowers its
 # conv as int8. The scales dict maps module paths ("backbone/conv1a") to
-# input activation scales (absmax/127 from calibration).
-_INT8_CTX: Dict[str, Optional[Dict[str, float]]] = {"scales": None}
+# input activation scales (absmax/127 from calibration). out_scales maps
+# PRODUCER paths to the consumer's input scale for activation chaining
+# (see chain_out_scales).
+_INT8_CTX: Dict[str, Optional[Dict[str, float]]] = {"scales": None,
+                                                    "out_scales": None}
+
+
+class QTensor:
+    """int8 activation + its scale, flowing BETWEEN chained conv blocks.
+
+    With plain int8 execution every block stores its f32/bf16 output to
+    HBM and the next block re-quantizes it — 3 elementwise passes and a
+    full-precision tensor of HBM traffic per edge. Chaining emits int8 at
+    the PRODUCER (quantized with the consumer's calibrated input scale,
+    which equals this tensor's scale because pools/eval-dropout are
+    value-preserving), so the materialized inter-block tensor is int8:
+    4x (vs f32) / 2x (vs bf16) less HBM traffic on the stem's full-
+    resolution activations, and the consumer skips its quantize pass."""
+
+    __slots__ = ("values", "scale")
+
+    def __init__(self, values: Array, scale: float):
+        self.values = values  # int8
+        self.scale = scale    # python float (trace-time constant)
 
 
 @contextmanager
-def int8_execution(scales: Dict[str, float]):
-    """Activate int8 conv execution during model tracing/apply."""
-    prev = _INT8_CTX["scales"]
+def int8_execution(scales: Dict[str, float],
+                   chain: bool = False,
+                   topology: Optional[Dict[str, str]] = None):
+    """Activate int8 conv execution during model tracing/apply.
+
+    chain=True additionally turns on int8 activation chaining over the
+    backbone's single-consumer edges (topology defaults to
+    BACKBONE_CHAIN)."""
+    prev = (_INT8_CTX["scales"], _INT8_CTX["out_scales"])
     _INT8_CTX["scales"] = dict(scales)
+    _INT8_CTX["out_scales"] = (
+        chain_out_scales(scales, topology) if chain else None)
     try:
         yield
     finally:
-        _INT8_CTX["scales"] = prev
+        _INT8_CTX["scales"], _INT8_CTX["out_scales"] = prev
 
 
 def active_int8_scale(path: str) -> Optional[float]:
@@ -59,14 +89,52 @@ def active_int8_scale(path: str) -> Optional[float]:
     return scales.get(path)
 
 
-def int8_conv(x: Array, kernel: Array, scale_in: float,
+def active_int8_out_scale(path: str) -> Optional[float]:
+    out_scales = _INT8_CTX["out_scales"]
+    if out_scales is None:
+        return None
+    return out_scales.get(path)
+
+
+# Single-consumer edges of the backbone (modules/backbone.py flow):
+# producer -> consumer whose calibrated INPUT scale equals the producer's
+# output scale (max-pool and eval-mode dropout between them are
+# value-preserving). conv3b is excluded: its output feeds both the pooled
+# conv4a path AND the heads' skip connections, so it must stay f32.
+BACKBONE_CHAIN: Dict[str, str] = {
+    "backbone/conv1a": "backbone/conv1b",
+    "backbone/conv1b": "backbone/conv2a",
+    "backbone/conv2a": "backbone/conv2b",
+    "backbone/conv2b": "backbone/conv3a",
+    "backbone/conv3a": "backbone/conv3b",
+    "backbone/conv4a": "backbone/conv4b",
+}
+
+
+def chain_out_scales(scales: Dict[str, float],
+                     topology: Optional[Dict[str, str]] = None
+                     ) -> Dict[str, float]:
+    """{producer_path: consumer_input_scale} for every chainable edge
+    whose consumer has a calibrated scale."""
+    topo = BACKBONE_CHAIN if topology is None else topology
+    return {prod: scales[cons] for prod, cons in topo.items()
+            if cons in scales}
+
+
+def int8_conv(x, kernel: Array, scale_in: float,
               strides=(1, 1), padding="SAME") -> Array:
     """Quantized conv: round(x/s_x) int8  *  round(w/s_w) int8 -> int32,
     rescaled to f32 by s_x * s_w (per output channel). The int8 x int8 ->
-    int32 contraction is the MXU's native high-throughput mode."""
-    x = x.astype(jnp.float32)
+    int32 contraction is the MXU's native high-throughput mode.
+
+    x may be a QTensor (already int8 from a chained producer; its scale
+    overrides scale_in and the quantize pass is skipped)."""
+    if isinstance(x, QTensor):
+        xq, scale_in = x.values, x.scale
+    else:
+        x = x.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x / scale_in), -127, 127).astype(jnp.int8)
     w = kernel.astype(jnp.float32)
-    xq = jnp.clip(jnp.round(x / scale_in), -127, 127).astype(jnp.int8)
     s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
     wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
@@ -74,6 +142,14 @@ def int8_conv(x: Array, kernel: Array, scale_in: float,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return y.astype(jnp.float32) * (scale_in * s_w.reshape(1, 1, 1, -1))
+
+
+def quantize_activation(y: Array, scale: float) -> "QTensor":
+    """Quantize a block output for chaining (emitted at the producer so
+    the inter-block tensor is int8)."""
+    q = jnp.clip(jnp.round(y.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return QTensor(q, scale)
 
 
 def calibrate_conv_scales(apply_fn: Callable, variables,

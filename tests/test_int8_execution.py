@@ -95,3 +95,30 @@ def test_int8_context_does_not_leak():
     with quant.int8_execution(scales):
         pass
     assert quant.active_int8_scale("backbone/conv1a") is None
+
+
+def test_int8_chaining_outputs_close_and_int8_pool():
+    """Activation chaining (round 3, VERDICT weak #5 follow-up): backbone
+    single-consumer edges carry int8 tensors — the lowered graph must
+    max-pool an i8 tensor (reduce over i8), and outputs must stay close
+    to the unchained int8 path (one extra rounding per chained edge)."""
+    cfg, model, var, x = _setup()
+    scales = _calibrate(model, var, x)
+    with quant.int8_execution(scales):
+        out_plain = model.apply(var, x, False)
+    with quant.int8_execution(scales, chain=True):
+        out_chain = model.apply(var, x, False)
+        lowered = jax.jit(
+            lambda v, im: model.apply(v, im, False)).lower(var, x)
+    hlo = lowered.as_text()
+    import re
+    # reduce_window prints with a multi-line region; find any whose type
+    # signature carries an i8 tensor
+    i8_reduce = [m for m in re.findall(
+        r"reduce_window[\s\S]{0,2500}?-> tensor<[^>]*xi8>", hlo)]
+    assert i8_reduce, "no int8 max-pool found — chaining not active?"
+    for k in ("score", "feat"):
+        a = np.asarray(out_plain[k], np.float32)
+        b = np.asarray(out_chain[k], np.float32)
+        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+        assert rel < 0.05, (k, rel)
