@@ -196,7 +196,7 @@ def run_keypoints(args):
 def run_vo(args):
     import cv2
 
-    from nanovs_slam_tpu.vo.frontend import KP2DtinyFrontend
+    from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
     from nanovs_slam_tpu.vo.visual_odometry import evaluate_visual_odometry
 
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
@@ -215,7 +215,7 @@ def run_vo(args):
 
     # ours
     cv2.setRNGSeed(0)
-    frontend = KP2DtinyFrontend(build_model(cfg), cfg, variables,
+    frontend = KP2DTinyFrontend(build_model(cfg), cfg, variables,
                                 (args.size[0], args.size[1]),
                                 nn_thresh=0.7, top_k=4000)
     ours = evaluate_visual_odometry(
