@@ -36,6 +36,9 @@ def parse_args():
                    help="VO matching mode (reference visual_odometry "
                         "matcher conf; 'dense' = detector-free LoFTR-mode "
                         "counterpart, matching/dense.py)")
+    p.add_argument("--lg_ckpt", default=None,
+                   help="trained LightGlue checkpoint for --vo_matcher "
+                        "lightglue")
     p.add_argument("--top_k", type=int, nargs="+", default=[300, 1000])
     p.add_argument("--im_h", type=int, default=240)
     p.add_argument("--im_w", type=int, default=320)
@@ -338,7 +341,8 @@ def main():
                     r = evaluate_visual_odometry(
                         fe, kitti, "06.txt", "06.mp4",
                         new_size=(vo_h, vo_w), max_frames=args.max_items,
-                        verbose=True, matcher=args.vo_matcher, dense=dense)
+                        verbose=True, matcher=args.vo_matcher, dense=dense,
+                        lightglue=args.lg_ckpt)
                     results[f"vo_{vo_h}x{vo_w}"] = r
                     print(f"VO {vo_h}x{vo_w}: {r['total']}")
                 except Exception as e:

@@ -274,13 +274,44 @@ class VisualOdometry:
         return draw
 
 
+def load_lightglue_for_vo(lg_ckpt: str, nfeatures: int, frame_size,
+                          max_n: int = 1024, threshold: float = 0.1):
+    """Build the (model, params, size, max_n) tuple VisualOdometry's
+    lightglue mode consumes, from a train_lightglue.py checkpoint.
+
+    frame_size is the ORIGINAL (W, H) of the video frames — VO matchers
+    see keypoints rescaled back to camera coordinates (reference
+    visual_odometry.py:119-121), so keypoint normalization must use the
+    full frame."""
+    import dataclasses
+
+    from ..matching.configs import LIGHTGLUE_CONFIGS
+    from ..matching.lightglue import LightGlue
+    from ..utils.checkpoint import load_checkpoint
+
+    tree, meta = load_checkpoint(lg_ckpt)
+    name = "kp2dtiny_S"
+    if isinstance(meta, dict):
+        name = meta.get("config", {}).get("lg_config", name)
+    lg_cfg = LIGHTGLUE_CONFIGS.get(name, LIGHTGLUE_CONFIGS["kp2dtiny_S"])
+    if lg_cfg.input_dim != nfeatures:
+        lg_cfg = dataclasses.replace(lg_cfg, input_dim=nfeatures,
+                                     descriptor_dim=nfeatures)
+    lg_cfg = dataclasses.replace(lg_cfg, filter_threshold=threshold)
+    return (LightGlue(lg_cfg), tree["params"],
+            tuple(frame_size), max_n)
+
+
 def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              video_name: str, new_size=None,
                              max_frames: Optional[int] = None,
                              verbose: bool = False,
-                             matcher: str = "bf", dense=None) -> Dict:
+                             matcher: str = "bf", dense=None,
+                             lightglue=None) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
-    per-frame relative pose errors vs GT."""
+    per-frame relative pose errors vs GT. lightglue: either the
+    (model, params, size, max_n) tuple or a checkpoint path string
+    (loaded via load_lightglue_for_vo)."""
     import cv2
 
     from .camera import kitti_params
@@ -295,10 +326,14 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
     cam = PinholeCamera(size[1], size[0], fx, fy, cx, cy)
 
     def prep(f):
-        rgb = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        # resize in FLOAT: uint8 cv2.resize quantizes the interpolated
+        # values back to 8 bits, a ~0.2%-per-pixel noise floor that is
+        # enough to flip ratio-test survivors downstream (the reference
+        # resizes float tensors, visual_odometry.py:77-80)
+        rgb = cv2.cvtColor(f, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         if new_size is not None:
             rgb = cv2.resize(rgb, (new_size[1], new_size[0]))
-        return rgb.astype(np.float32) / 255.0
+        return rgb
 
     sx = size[1] / (new_size[1] if new_size else size[1])
     sy = size[0] / (new_size[0] if new_size else size[0])
@@ -333,9 +368,15 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
             s = np.array([sx, sy], np.float32)
             return np.asarray(kp0) * s, np.asarray(kp1) * s, conf
 
+    if isinstance(lightglue, str):
+        nfeat = getattr(getattr(frontend, "cfg", None), "nfeatures", None)
+        if nfeat is None:  # fall back to the descriptor dim of frame 0
+            nfeat = frontend.run(prep(frame))[1].shape[-1]
+        lightglue = load_lightglue_for_vo(lightglue, nfeat,
+                                          (size[1], size[0]))
     vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
                         dense=ScaledDense(dense) if dense is not None
-                        else None)
+                        else None, lightglue=lightglue)
     vo.init(prep(frame))
 
     # pipelined frame loop: frame t+1's extraction is DISPATCHED before

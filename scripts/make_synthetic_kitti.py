@@ -60,8 +60,143 @@ def make_sequence(out_dir: str, n_frames: int = 12, W_img: int = 1241,
     return t_step
 
 
+def _texture(rs, h, w, octaves=(4, 16, 64), gray=False):
+    """Multi-octave random texture: high-frequency detail so descriptors
+    are locally DISTINCTIVE (a smooth low-frequency texture makes
+    nearest-neighbour descriptors near-tie, and two numerically
+    near-identical stacks then pick disjoint match sets)."""
+    import cv2
+
+    acc = np.zeros((h, w, 3), np.float32)
+    for i, o in enumerate(octaves):
+        layer = cv2.resize(rs.rand(max(2, h // o), max(2, w // o), 3)
+                           .astype(np.float32), (w, h),
+                           interpolation=cv2.INTER_CUBIC)
+        acc += layer / (i + 1)
+    acc = (acc - acc.min()) / (np.ptp(acc) + 1e-9)
+    img = (acc * 255).astype(np.uint8)
+    for _ in range(h * w // 2000):  # sharp corner features at all scales
+        x, y = rs.randint(0, w - 4), rs.randint(0, h - 4)
+        s = rs.randint(3, 18)
+        c = tuple(int(v) for v in rs.randint(0, 255, 3))
+        cv2.rectangle(img, (x, y), (min(x + s, w - 1), min(y + s, h - 1)),
+                      c, -1)
+    if gray:
+        g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        img = np.repeat(g[..., None], 3, axis=-1)
+    return img
+
+
+def make_corridor_sequence(out_dir: str, n_frames: int = 30,
+                           W_img: int = 1241, H_img: int = 376,
+                           step: float = 0.4, yaw_rate: float = 0.006,
+                           seed: int = 0, gray: bool = True):
+    """Non-degenerate VO fixture: a textured CORRIDOR (ground plane +
+    two side walls + far wall) with FORWARD camera motion and gentle yaw.
+
+    The lateral-shift fixture (make_sequence) is a single fronto-parallel
+    plane under translation — uniform optical flow, the classic
+    degenerate configuration for essential-matrix estimation (planar
+    scene: E is ambiguous up to the twisted pair; any two near-identical
+    pipelines can recover different, equally-epipolar-consistent poses).
+    Here scene points span ~2-60 m of depth, so parallax pins the pose
+    and pipeline-parity comparisons (tools/pipeline_parity.py --task vo)
+    are meaningful.
+
+    Each plane is EXACT geometry: world plane (u,v)->3D is affine, so
+    plane->image is the 3x3 homography [K R^T U | K R^T V | K R^T (O-p)];
+    frames are cv2.warpPerspective renders composited far-to-near.
+    Camera convention: x right, y down, z forward; poses written
+    camera-to-world in KITTI odometry format (12 floats, [R|t])."""
+    import cv2
+
+    fx, fy, cx, cy = 718.856, 718.856, 607.1928, 185.2157
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+    rs = np.random.RandomState(seed)
+
+    h_cam = 1.65        # camera height above ground (KITTI-like)
+    half_w = 7.0        # corridor half-width
+    z_far = 80.0        # far-wall distance (world)
+    wall_top = -6.0     # walls extend 6 m above camera height
+
+    ppm = 36  # texture pixels per metre
+    # plane = (origin O, U axis, V axis, extent_u, extent_v, texture)
+    planes = []
+
+    def add_plane(O, U, V, eu, ev):
+        tex = _texture(rs, int(ev * ppm), int(eu * ppm), gray=gray)
+        planes.append((np.asarray(O, float), np.asarray(U, float),
+                       np.asarray(V, float), eu, ev, tex))
+
+    z_len = z_far + step * n_frames + 10
+    # far wall (rendered first: most distant)
+    add_plane([-half_w, wall_top, z_far], [1, 0, 0], [0, 1, 0],
+              2 * half_w, h_cam - wall_top)
+    # left wall x=-half_w: u along +z, v along +y (down)
+    add_plane([-half_w, wall_top, 0], [0, 0, 1], [0, 1, 0],
+              z_len, h_cam - wall_top)
+    # right wall x=+half_w
+    add_plane([half_w, wall_top, 0], [0, 0, 1], [0, 1, 0],
+              z_len, h_cam - wall_top)
+    # ground y=+h_cam: u along +x, v along +z
+    add_plane([-half_w, h_cam, 0], [1, 0, 0], [0, 0, 1],
+              2 * half_w, z_len)
+
+    def render(R, p):
+        frame = np.zeros((H_img, W_img, 3), np.uint8)
+        Rt = R.T
+        for O, U, V, eu, ev, tex in planes:
+            th, tw = tex.shape[:2]
+            # homography plane-(u,v)-in-texture-pixels -> image
+            cols = np.stack([Rt @ U * (eu / tw), Rt @ V * (ev / th),
+                             Rt @ (O - p)], axis=1)
+            H = K @ cols
+            # only render planes in front: warp a validity mask along
+            mask = np.full((th, tw), 255, np.uint8)
+            wf = cv2.warpPerspective(tex, H, (W_img, H_img),
+                                     flags=cv2.INTER_LINEAR)
+            wm = cv2.warpPerspective(mask, H, (W_img, H_img),
+                                     flags=cv2.INTER_NEAREST)
+            # points behind the camera can alias into the image through
+            # the projective wrap; cull by checking depth of each target
+            # pixel via the inverse map on a coarse grid is overkill for
+            # this corridor (every plane patch ahead of the camera), so
+            # mask suffices.
+            frame[wm > 0] = wf[wm > 0]
+        return frame
+
+    # trajectory: forward with gentle sinusoidal yaw
+    poses = []
+    p = np.zeros(3)
+    yaw = 0.0
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])  # yaw about y
+        poses.append((R.copy(), p.copy()))
+        p = p + R @ np.array([0, 0, step])
+        yaw += yaw_rate * np.sin(2 * np.pi * i / max(n_frames - 1, 1))
+
+    os.makedirs(out_dir, exist_ok=True)
+    vw = cv2.VideoWriter(f"{out_dir}/06.mp4",
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (W_img, H_img))
+    lines = []
+    for R, pos in poses:
+        vw.write(render(R, pos))
+        P = np.hstack([R, pos.reshape(3, 1)])
+        lines.append(" ".join(f"{v:.6e}" for v in P.reshape(-1)))
+    vw.release()
+    with open(f"{out_dir}/06.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return step
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kitti_synth"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    t_step = make_sequence(out, n)
-    print(f"synthetic kitti at {out}: {n} frames, t_step {t_step:.4f} m")
+    if len(sys.argv) > 3 and sys.argv[3] == "corridor":
+        t_step = make_corridor_sequence(out, n)
+        print(f"corridor kitti at {out}: {n} frames, step {t_step:.2f} m")
+    else:
+        t_step = make_sequence(out, n)
+        print(f"synthetic kitti at {out}: {n} frames, t_step {t_step:.4f} m")

@@ -134,7 +134,7 @@ def main():
         # (a) BF ratio test, restricted to valid keypoints
         v0, v1 = np.where(m0)[0], np.where(m1)[0]
         i0, i1, _ = ratio_test_match_one_to_one(d0[v0], d1[v1],
-                                                ratio=args.ratio)
+                                                ratio_test=args.ratio)
         p, r, n_gt = pair_pr(kp0, kp1, v0[i0], v1[i1], H_pix)
         rows["bf"].append((p, r, len(i0), n_gt))
 

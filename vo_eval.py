@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--matcher", default="bf",
                    choices=["bf", "flann", "crosscheck", "semantic",
                             "lightglue", "dense"])
+    p.add_argument("--lg_ckpt", default=None,
+                   help="trained LightGlue checkpoint for --matcher "
+                        "lightglue (train_lightglue.py output)")
     p.add_argument("--semantic_filter", action="store_true")
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
     p.add_argument("--max_frames", type=int, default=None)
@@ -84,7 +87,7 @@ def main():
     results = evaluate_visual_odometry(
         fe, args.kitti_path, args.gt_name, args.video_name,
         new_size=(H, W), max_frames=args.max_frames, verbose=True,
-        matcher=args.matcher, dense=dense)
+        matcher=args.matcher, dense=dense, lightglue=args.lg_ckpt)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
