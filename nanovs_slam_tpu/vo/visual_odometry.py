@@ -372,8 +372,10 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
         nfeat = getattr(getattr(frontend, "cfg", None), "nfeatures", None)
         if nfeat is None:  # fall back to the descriptor dim of frame 0
             nfeat = frontend.run(prep(frame))[1].shape[-1]
+        # pad slots must cover the frontend's keypoint budget
+        max_n = max(int(getattr(frontend, "top_k", 0) or 0), 1024)
         lightglue = load_lightglue_for_vo(lightglue, nfeat,
-                                          (size[1], size[0]))
+                                          (size[1], size[0]), max_n=max_n)
     vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
                         dense=ScaledDense(dense) if dense is not None
                         else None, lightglue=lightglue)
