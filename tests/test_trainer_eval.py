@@ -71,7 +71,11 @@ def test_evaluate_model_fanout_synthetic():
     assert "repeatability" in results["keypoints"], results["keypoints"]
     assert "recall" in str(results["visloc"]).lower() or \
         any("Recall" in k for k in results["visloc"]), results["visloc"]
-    assert results["vo"].get("skipped")  # no KITTI in this env
+    # no real KITTI in this env: the VO eval either falls back to the
+    # seeded synthetic fixture (round 3) and reports real error stats,
+    # or marks itself skipped when the fixture can't be built.
+    assert results["vo"].get("skipped") or "mean" in results["vo"], \
+        results["vo"]
     m = plateau_metric(results, [1.0])
     assert np.isfinite(m)
 
