@@ -14,8 +14,17 @@ warped kp0 lands within 3 px of kp1).
 
 Usage:
   python tools/matcher_benchmark.py --lg-ckpt lightglue_ckpt \
-      [--extractor-ckpt model_ckpt/r3_long] [--pairs 64]
+      [--extractor-ckpt model_ckpt/r3_long] [--pairs 64] [--dense]
 Writes artifacts/matcher_benchmark.json.
+
+--dense additionally scores the detector-free DenseMatcher (the native
+LoFTR-mode analog) on the SAME pairs. Its correspondences are free
+points, not detector indices, so GT differs: a dense match (p0 -> p1) is
+correct when warp(p0) lands within 3 px of p1, and recall is measured
+against the coarse-cell grid (how many inner cells of image0 whose
+warped center stays in-bounds got a correct match) — the densest
+recoverable set for a cell-grid matcher. Precision is directly
+comparable with BF/LightGlue; recall is reported against its own base.
 """
 
 import argparse
@@ -61,6 +70,9 @@ def main():
     ap.add_argument("--seed", type=int, default=777)  # held-out stream
     ap.add_argument("--ratio", type=float, default=0.9)
     ap.add_argument("--lg-threshold", type=float, default=0.1)
+    ap.add_argument("--dense", action="store_true",
+                    help="also score the detector-free DenseMatcher")
+    ap.add_argument("--dense-threshold", type=float, default=0.05)
     args = ap.parse_args()
 
     import jax
@@ -108,6 +120,12 @@ def main():
     def lg_match(data):
         return matcher.apply({"params": lg_params}, data, False)
 
+    dense_matcher = None
+    if args.dense:
+        from nanovs_slam_tpu.matching.dense import DenseMatcher
+        dense_matcher = DenseMatcher(ex_model, cfg, ex_vars, (H, W),
+                                     k=min(2 * K, 512))
+
     dataset = SyntheticShapesDataset((H, W), 128, 8, seed=args.seed)
     warp = jax.jit(lambda im, h: homography_warp_image(im, h,
                                                        mode="bilinear"))
@@ -116,6 +134,8 @@ def main():
                   [0, 0, 1]], np.float64)
 
     rows = {"bf": [], "lightglue": []}
+    if dense_matcher is not None:
+        rows["dense"] = []
     for i in range(args.pairs):
         img = dataset[i % len(dataset)]["image"]
         Hn = sample_homography((H, W), rs).astype(np.float64)
@@ -151,6 +171,37 @@ def main():
         sel = np.where(match0 >= 0)[0]
         p, r, n_gt = pair_pr(kp0, kp1, sel, match0[sel], H_pix)
         rows["lightglue"].append((p, r, len(sel), n_gt))
+
+        # (c) detector-free dense matcher on the same image pair
+        if dense_matcher is not None:
+            from nanovs_slam_tpu.matching.extractor import warp_points_np
+
+            dm = dense_matcher(np.asarray(imgs[0]), np.asarray(warped[0]),
+                               conf_threshold=args.dense_threshold)
+            p0, p1 = dm["keypoints0"], dm["keypoints1"]
+            if len(p0):
+                correct = (np.linalg.norm(
+                    warp_points_np(p0, H_pix) - p1, axis=-1) < 3.0)
+                prec = float(correct.mean())
+                n_correct = int(correct.sum())
+            else:
+                prec, n_correct = 0.0, 0
+            # recall base: inner coarse cells whose warped center stays
+            # in image1 bounds (the densest set a cell-grid matcher can
+            # recover)
+            cell = cfg.cell
+            Hc2, Wc2 = H // cell, W // cell
+            jj, ii = np.meshgrid(np.arange(1, Wc2 - 1),
+                                 np.arange(1, Hc2 - 1))
+            centers = np.stack(
+                [jj.ravel() * cell + (cell - 1) / 2,
+                 ii.ravel() * cell + (cell - 1) / 2], -1).astype(np.float64)
+            wc_img1 = warp_points_np(centers, H_pix)
+            in_b = ((wc_img1[:, 0] >= 0) & (wc_img1[:, 0] <= W - 1)
+                    & (wc_img1[:, 1] >= 0) & (wc_img1[:, 1] <= H - 1))
+            n_base = max(int(in_b.sum()), 1)
+            rows["dense"].append((prec, n_correct / n_base, len(p0),
+                                  n_base))
 
     out = {}
     for name, rws in rows.items():
