@@ -123,9 +123,26 @@ def main():
             "p50_ms": round(timer2.stats()[tag]["p50_ms"], 3),
             "exit_layer": pred["exit_layer"]}
 
+    # detector-free dense mode (VO dense matcher per-frame work: one
+    # dense-map extraction + coarse dual-softmax / fine soft-argmax
+    # match against the device-resident previous map)
+    from nanovs_slam_tpu.matching.dense import DenseMatcher
+
+    dm = DenseMatcher(model, cfg, variables, (H, W), k=K)
+    fprev = dm._extract(variables, img0)
+
+    @jax.jit
+    def dense_frame(img):
+        fmap = dm._extract(variables, img)
+        kp0, kp1, conf = dm._match(fprev, fmap)
+        return (conf.sum() + kp1.sum()).astype(jnp.float32)
+
+    per_dense, _ = chained_device_time(dense_frame, img1, n_lo, n_hi)
+
     print(json.dumps({
         "metric": "kp_extract_plus_lightglue_match_latency",
         "device_ms_per_frame_pair": round(per * 1e3, 3),
+        "dense_mode_device_ms_per_frame": round(per_dense * 1e3, 3),
         "host_loop_p50_ms": round(stats["p50_ms"], 3),
         "host_loop_p95_ms": round(stats["p95_ms"], 3),
         "match_only_static_p50_ms": round(timer2.stats()["static"]["p50_ms"],
