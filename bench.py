@@ -23,6 +23,35 @@ import jax
 import jax.numpy as jnp
 
 
+def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0):
+    """Wait (bounded) for the tunneled TPU backend to come up.
+
+    The axon tunnel occasionally drops for minutes at a time; a bench
+    started during an outage would otherwise block in backend init and
+    then die with 'Unable to initialize backend'. Probe in a SUBPROCESS
+    (in-process jax caches a failed backend) until jax.devices() answers
+    or the budget runs out, then proceed either way."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                print(f"# backend probe failed {attempt}x over "
+                      f"{max_wait_s:.0f}s; proceeding anyway",
+                      file=sys.stderr)
+                return False
+            time.sleep(15.0)
+
+
 def main():
     from nanovs_slam_tpu.configs import get_config
     from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
@@ -88,4 +117,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_backend()
     main()

@@ -152,4 +152,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import wait_for_backend
+    wait_for_backend()
     main()
