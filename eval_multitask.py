@@ -342,7 +342,9 @@ def main():
                         fe, kitti, "06.txt", "06.mp4",
                         new_size=(vo_h, vo_w), max_frames=args.max_items,
                         verbose=True, matcher=args.vo_matcher, dense=dense,
-                        lightglue=args.lg_ckpt)
+                        lightglue=(args.lg_ckpt
+                                   if args.vo_matcher == "lightglue"
+                                   else None))
                     results[f"vo_{vo_h}x{vo_w}"] = r
                     print(f"VO {vo_h}x{vo_w}: {r['total']}")
                 except Exception as e:

@@ -219,7 +219,7 @@ def keypoint_losses(out: Dict[str, Array], out_aug: Dict[str, Array],
     # the 0.7 score-calibration drift against the reference trainer
     # (the overweighted consistency term suppressed the USP dynamics that
     # push good cells' scores up; tools/score_probe.py)
-    score_mse = masked_mean(mse, jnp.broadcast_to(border[None], mse.shape))
+    score_mse = masked_mean(mse, border[None])
 
     return {
         "loc_loss": loc_loss,

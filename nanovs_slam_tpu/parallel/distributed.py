@@ -43,10 +43,12 @@ def _pod_env_detected() -> bool:
     hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     if "," in hosts:
         return True  # real pod: >1 worker hostname
-    if int(os.environ.get("SLURM_NTASKS", "1")) > 1:
-        return True
-    if int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")) > 1:
-        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:  # empty/garbage leftovers are not a pod
+            pass
     return False
 
 

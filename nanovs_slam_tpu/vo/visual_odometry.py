@@ -65,7 +65,7 @@ class VisualOdometry:
 
     MATCHERS = ("bf", "flann", "crosscheck", "semantic", "lightglue",
                 "dense")
-    DENSE_MIN_MATCHES = 256
+    DENSE_MIN_MATCHES = 400
 
     def __init__(self, frontend, cam: PinholeCamera,
                  matcher: str = "bf", lightglue=None, dense=None,
@@ -80,25 +80,34 @@ class VisualOdometry:
         # matches/pair, t=0.05 -> 136 matches at 0.88 precision,
         # t=0.02 -> 281 at 0.85. 0.05 keeps precision at its plateau.
         #
-        # DENSE_MIN_MATCHES=256, not 50: on scenes where no confidence
+        # DENSE_MIN_MATCHES=400, not 50: on scenes where no confidence
         # clears the absolute threshold (repetitive texture flattens the
         # softmax; corridor-fixture max conf is 0.049), the top-N ranking
         # fallback IS the match source, and the most-confident cells
         # cluster on the low-flow far wall near the epipole — a geometry
         # that barely constrains translation. Corridor-fixture sweep
-        # (12 frames, r3_long weights): N=50 -> total err 0.535,
-        # N=128 -> 0.278, N=256 -> 0.0168, N=400 -> 0.0155; at N=256 the
-        # dense mode beats both BF (0.0195) and trained LightGlue
-        # (0.0184) on the same fixture.
+        # (r3_long weights): 240x320/12f N=50 -> total err 0.533,
+        # N=128 -> 0.282, N=256 -> 0.074, N=400 -> 0.020;
+        # 128x512/30f N=50 -> 0.253, N=256 -> 0.024, N=400 -> 0.023.
+        # 400 keeps a filtering margin below the k=512 slot budget; at
+        # that setting the dense mode beats BF (0.071) and trained
+        # LightGlue (0.039) at the reference's own 128x512 VO protocol.
         if matcher not in self.MATCHERS:
             raise ValueError(f"matcher must be one of {self.MATCHERS}")
         if matcher == "dense" and dense is None:
             raise ValueError("matcher='dense' needs a DenseMatcher "
                              "(matching/dense.py) via dense=")
+        if matcher == "lightglue" and lightglue is None:
+            # fail loudly instead of silently falling through to BF in
+            # _match — --lg_ckpt is easy to forget on the CLIs
+            raise ValueError("matcher='lightglue' needs lightglue= (the "
+                             "load_lightglue_for_vo tuple; CLIs: pass "
+                             "--lg_ckpt)")
         self.frontend = frontend
         self.cam = cam
         self.matcher = matcher
-        self.lightglue = lightglue  # (model, params, size) tuple or None
+        # (model, params, size, max_n) from load_lightglue_for_vo, or None
+        self.lightglue = lightglue
         self.dense = dense  # DenseMatcher or None
         self.dense_conf = dense_conf
         if dense_min_matches is not None:

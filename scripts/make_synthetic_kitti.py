@@ -145,23 +145,39 @@ def make_corridor_sequence(out_dir: str, n_frames: int = 30,
     def render(R, p):
         frame = np.zeros((H_img, W_img, 3), np.uint8)
         Rt = R.T
+        # Behind-camera culling: warpPerspective inverse-maps every DEST
+        # pixel through H^-1 sign-blind, so plane points BEHIND the camera
+        # with in-extent texture coords render mirrored into the frame
+        # (measured: 22% of frame-25 pixels were mirrored wrong-wall /
+        # ground-on-sky texture before this crop — geometrically false
+        # correspondences in a VO/parity fixture). Fix: per frame, crop
+        # each z-extended plane (walls: U=+z; ground: V=+z) to
+        # z >= cam_z + 3 m. The culled band is invisible anyway: a wall
+        # point at lateral |x|=7 enters the horizontal FOV
+        # (atan(cx/fx)=40.8 deg) only at depth > 8.1 m, the ground
+        # (1.65 m below, vertical FOV 14.6 deg) only at depth > 6.3 m,
+        # and |yaw| stays < 0.02 rad so the 3 m margin dominates the
+        # lateral depth term.
+        crop_px = int(max(0.0, p[2] + 3.0) * ppm)
         for O, U, V, eu, ev, tex in planes:
+            if U[2] == 1.0 and crop_px > 0:       # side wall: u is +z
+                n = min(crop_px, tex.shape[1] - ppm)
+                O = O + U * (n / ppm)
+                tex, eu = tex[:, n:], eu - n / ppm
+            elif V[2] == 1.0 and crop_px > 0:     # ground: v is +z
+                n = min(crop_px, tex.shape[0] - ppm)
+                O = O + V * (n / ppm)
+                tex, ev = tex[n:, :], ev - n / ppm
             th, tw = tex.shape[:2]
             # homography plane-(u,v)-in-texture-pixels -> image
             cols = np.stack([Rt @ U * (eu / tw), Rt @ V * (ev / th),
                              Rt @ (O - p)], axis=1)
             H = K @ cols
-            # only render planes in front: warp a validity mask along
             mask = np.full((th, tw), 255, np.uint8)
             wf = cv2.warpPerspective(tex, H, (W_img, H_img),
                                      flags=cv2.INTER_LINEAR)
             wm = cv2.warpPerspective(mask, H, (W_img, H_img),
                                      flags=cv2.INTER_NEAREST)
-            # points behind the camera can alias into the image through
-            # the projective wrap; cull by checking depth of each target
-            # pixel via the inverse map on a coarse grid is overkill for
-            # this corridor (every plane patch ahead of the camera), so
-            # mask suffices.
             frame[wm > 0] = wf[wm > 0]
         return frame
 

@@ -112,19 +112,19 @@ def test_vo_dense_fallback_budget(matcher):
     """When no confidence clears the absolute threshold, the top-N
     fallback supplies DENSE_MIN_MATCHES correspondences (conf>0 only) —
     the pose-quality-critical budget (corridor sweep in
-    visual_odometry.py: N=50 -> err 0.535, N=256 -> 0.0168), and the
+    visual_odometry.py: N=50 -> err 0.53, N=400 -> 0.02), and the
     dense_min_matches ctor arg overrides the class default per-instance."""
     pytest.importorskip("cv2")
     from nanovs_slam_tpu.vo.camera import PinholeCamera
     from nanovs_slam_tpu.vo.visual_odometry import VisualOdometry
 
     cam = PinholeCamera(W, H, 120.0, 120.0, W / 2, H / 2)
-    assert VisualOdometry.DENSE_MIN_MATCHES == 256
+    assert VisualOdometry.DENSE_MIN_MATCHES == 400
     vo = VisualOdometry(None, cam, matcher="dense", dense=matcher,
                         dense_conf=2.0,  # nothing clears it -> fallback
                         dense_min_matches=40)
     assert vo.DENSE_MIN_MATCHES == 40
-    assert VisualOdometry.DENSE_MIN_MATCHES == 256  # class untouched
+    assert VisualOdometry.DENSE_MIN_MATCHES == 400  # class untouched
     tex = _texture(5)
     vo.init(tex[16:16 + H, 16:16 + W])
     vo.process_image(tex[16:16 + H, 12:12 + W], absolute_scale=1.0)

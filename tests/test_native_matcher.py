@@ -44,12 +44,18 @@ def test_native_speed_sane():
     d2 = rs.randn(4000, 32).astype(np.float32)
     ratio_match_native(d1, d2)  # warm
     ratio_test_match_one_to_one(d1, d2)  # warm
-    t0 = time.perf_counter()
-    ratio_match_native(d1, d2)
-    dt_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ratio_test_match_one_to_one(d1, d2)
-    dt_numpy = time.perf_counter() - t0
+    # best-of-3 each: a single sample still flaked when a parallel test
+    # runner's load spike landed inside exactly one of the two timings;
+    # min() compares the least-perturbed run of each implementation
+    dt_native, dt_numpy = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ratio_match_native(d1, d2)
+        dt_native.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ratio_test_match_one_to_one(d1, d2)
+        dt_numpy.append(time.perf_counter() - t0)
+    dt_native, dt_numpy = min(dt_native), min(dt_numpy)
     assert dt_native < 2.0 * dt_numpy, (
         f"native matcher slower than numpy under identical load: "
         f"{dt_native:.3f}s vs {dt_numpy:.3f}s")

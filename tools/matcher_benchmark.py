@@ -104,7 +104,7 @@ def main():
 
     lg_tree, lg_meta = load_checkpoint(args.lg_ckpt)
     lg_cfg = LIGHTGLUE_CONFIGS.get(
-        (lg_meta or {}).get("lg_config", "kp2dtiny_S"),
+        (lg_meta or {}).get("config", {}).get("lg_config", "kp2dtiny_S"),
         LIGHTGLUE_CONFIGS["kp2dtiny_S"])
     if lg_cfg.input_dim != cfg.nfeatures:
         import dataclasses

@@ -235,7 +235,10 @@ def run_vo(args):
     cv2.setRNGSeed(0)
     frontend = KP2DTinyFrontend(build_model(cfg), cfg, variables,
                                 (args.size[0], args.size[1]),
-                                nn_thresh=0.7, top_k=4000)
+                                nn_thresh=0.7,
+                                top_k=4000)  # mirrors the reference's
+    # fixed VO keypoint budget (visual_odometry.py:75) — not tunable,
+    # or the two stacks would run different populations
     ours = evaluate_visual_odometry(
         frontend, fixture, "06.txt", "06.mp4",
         new_size=args.size, verbose=True, matcher="bf")
@@ -304,7 +307,6 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--score-bias", type=float, default=0.0)
     ap.add_argument("--top-k", type=int, default=300)
-    ap.add_argument("--vo-top-k", type=int, default=1000)
     ap.add_argument("--max-items", type=int, default=0)
     ap.add_argument("--hpatches", default=None)
     ap.add_argument("--frames", type=int, default=30)

@@ -192,7 +192,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--log-every", type=int, default=25)
-    ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--no-drop", action="store_true",
                     help="disable dropout both sides for exact loss-math comparison")
     args = ap.parse_args()

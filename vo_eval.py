@@ -87,7 +87,8 @@ def main():
     results = evaluate_visual_odometry(
         fe, args.kitti_path, args.gt_name, args.video_name,
         new_size=(H, W), max_frames=args.max_frames, verbose=True,
-        matcher=args.matcher, dense=dense, lightglue=args.lg_ckpt)
+        matcher=args.matcher, dense=dense,
+        lightglue=args.lg_ckpt if args.matcher == "lightglue" else None)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
