@@ -44,10 +44,11 @@ def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0):
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if time.time() >= deadline:
+            # don't start a probe that can't finish inside the budget
+            if time.time() + 15.0 + probe_timeout_s > deadline:
                 print(f"# backend probe failed {attempt}x over "
-                      f"{max_wait_s:.0f}s; proceeding anyway",
-                      file=sys.stderr)
+                      f"{time.time() - (deadline - max_wait_s):.0f}s; "
+                      f"proceeding anyway", file=sys.stderr)
                 return False
             time.sleep(15.0)
 
