@@ -71,7 +71,8 @@ class VisualOdometry:
                  matcher: str = "bf", lightglue=None, dense=None,
                  top_k_matches: int = 1000, ratio_test: float = 0.7,
                  n_classes: int = 28, dense_conf: float = 0.05,
-                 dense_min_matches: Optional[int] = None):
+                 dense_min_matches: Optional[int] = None,
+                 device_pose: bool = False):
         # dense_conf default: dual-softmax confidence mass spreads over
         # ~1200 coarse cells, so its absolute scale is far below the
         # reference's 0.7 pretrained-LoFTR filter. Measured operating
@@ -112,6 +113,13 @@ class VisualOdometry:
         self.dense_conf = dense_conf
         if dense_min_matches is not None:
             self.DENSE_MIN_MATCHES = dense_min_matches  # instance override
+        # device_pose=True replaces the host cv2 USAC_MSAC tail with the
+        # on-device batched-hypothesis RANSAC (pose.ransac_essential_device)
+        # — the last host stage of the frame loop moves onto the chip.
+        # Jitted programs are cached per pad-slot count.
+        self.device_pose = device_pose
+        self._pose_jit = {}
+        self._frame_idx = 0
         self.fmap_prev = None  # device-resident dense map (dense mode)
         self.top_k_matches = top_k_matches
         self.ratio_test = ratio_test
@@ -257,7 +265,12 @@ class VisualOdometry:
                 m_kps0, m_kps1 = dense_kps
             else:
                 m_kps0, m_kps1 = self._match(kps, feat, seg)
-            R, t, mask_match, _ = estimate_pose(m_kps0, m_kps1, self.cam)
+            if self.device_pose:
+                R, t, mask_match = self._estimate_pose_on_device(m_kps0,
+                                                                 m_kps1)
+            else:
+                R, t, mask_match, _ = estimate_pose(m_kps0, m_kps1,
+                                                    self.cam)
             n_inliers = int(np.count_nonzero(mask_match))
             self.mask_match = np.asarray(mask_match).reshape(-1) != 0
         except ValueError:
@@ -282,6 +295,39 @@ class VisualOdometry:
         if self.matcher != "dense":
             self.kps_prev, self.feat_prev, self.seg_prev = kps, feat, seg
         return R, t, len(m_kps0)
+
+    def _estimate_pose_on_device(self, m_kps0, m_kps1):
+        """Device RANSAC pose tail: undistort/unproject on host (cheap
+        numpy), pad matches to a power-of-two slot count behind a
+        validity mask so one jitted program serves a whole sequence, then
+        run pose.ransac_essential_device (batched 8-point + MSAC + refit
+        + cheirality, one XLA program). Deterministic per frame: the
+        hypothesis key is fold_in(frame_idx)."""
+        import jax
+
+        from .pose import ransac_essential_device
+
+        if len(m_kps0) < 8:
+            raise RuntimeError("too few matches for the 8-point solver")
+        kpn_ref = self.cam.unproject_points(
+            self.cam.undistort_points(m_kps0)).astype(np.float32)
+        kpn_cur = self.cam.unproject_points(
+            self.cam.undistort_points(m_kps1)).astype(np.float32)
+        n = len(kpn_ref)
+        slots = max(512, 1 << int(np.ceil(np.log2(n))))
+        if slots not in self._pose_jit:
+            self._pose_jit[slots] = jax.jit(
+                lambda a, b, k, v: ransac_essential_device(a, b, k,
+                                                           valid=v))
+        pad = slots - n
+        a = np.concatenate([kpn_ref, np.zeros((pad, 2), np.float32)])
+        b = np.concatenate([kpn_cur, np.zeros((pad, 2), np.float32)])
+        valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        key = jax.random.fold_in(jax.random.PRNGKey(0), self._frame_idx)
+        self._frame_idx += 1
+        R, t, inl = self._pose_jit[slots](a, b, key, valid)
+        return (np.asarray(R, np.float64), np.asarray(t, np.float64),
+                np.asarray(inl)[:n])
 
     def draw_feature_tracks(self, img: np.ndarray,
                             all_tracks: bool = False) -> np.ndarray:
@@ -337,7 +383,8 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              max_frames: Optional[int] = None,
                              verbose: bool = False,
                              matcher: str = "bf", dense=None,
-                             lightglue=None) -> Dict:
+                             lightglue=None,
+                             device_pose: bool = False) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT. lightglue: either the
     (model, params, size, max_n) tuple or a checkpoint path string
@@ -408,7 +455,8 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                                           (size[1], size[0]), max_n=max_n)
     vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
                         dense=ScaledDense(dense) if dense is not None
-                        else None, lightglue=lightglue)
+                        else None, lightglue=lightglue,
+                        device_pose=device_pose)
     vo.init(prep(frame))
 
     # pipelined frame loop: frame t+1's extraction is DISPATCHED before

@@ -73,6 +73,38 @@ def test_vo_recovers_straight_trajectory():
     assert r_err < 0.02
 
 
+def test_vo_device_pose_recovers_trajectory():
+    """device_pose=True: the host cv2 USAC_MSAC tail is replaced by the
+    on-device batched RANSAC (pose.ransac_essential_device) and the full
+    VO loop still recovers the trajectory to the same tolerance."""
+    fx, fy, cx, cy = kitti_params()
+    cam = PinholeCamera(1241, 376, fx, fy, cx, cy)
+    fe = SyntheticFrontend(cam, seed=2)
+    vo = VisualOdometry(fe, cam, matcher="bf", top_k_matches=300,
+                        device_pose=True)
+
+    step = np.array([0.05, 0.0, 1.0])
+    fe.set_pose(np.eye(3), np.zeros(3))
+    vo.init(None)
+    n_frames = 6
+    scale = np.linalg.norm(step)
+    for i in range(1, n_frames):
+        fe.set_pose(np.eye(3), step * i)
+        R, t, n_matches = vo.process_image(None, absolute_scale=scale)
+        assert n_matches > 50
+        assert vo.stats.n_inliers[-1] > 0.5 * n_matches
+
+    est_t = vo.cur_t[:, 0]
+    gt_t = step * (n_frames - 1)
+    err = np.linalg.norm(est_t - gt_t)
+    assert err < 0.15 * np.linalg.norm(gt_t), (est_t, gt_t)
+    r_err = calculate_pose_error(np.eye(3), gt_t, vo.cur_R, est_t)[1]
+    assert r_err < 0.02
+    assert vo.estimation_fails == 0
+    # one jitted program served the whole sequence (single slot bucket)
+    assert len(vo._pose_jit) == 1
+
+
 def test_vo_handles_estimation_failure():
     fx, fy, cx, cy = kitti_params()
     cam = PinholeCamera(1241, 376, fx, fy, cx, cy)

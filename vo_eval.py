@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--lg_ckpt", default=None,
                    help="trained LightGlue checkpoint for --matcher "
                         "lightglue (train_lightglue.py output)")
+    p.add_argument("--device_pose", action="store_true",
+                   help="replace the host cv2 USAC_MSAC pose tail with "
+                        "the on-device batched RANSAC "
+                        "(pose.ransac_essential_device)")
     p.add_argument("--semantic_filter", action="store_true")
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
     p.add_argument("--max_frames", type=int, default=None)
@@ -88,7 +92,8 @@ def main():
         fe, args.kitti_path, args.gt_name, args.video_name,
         new_size=(H, W), max_frames=args.max_frames, verbose=True,
         matcher=args.matcher, dense=dense,
-        lightglue=args.lg_ckpt if args.matcher == "lightglue" else None)
+        lightglue=args.lg_ckpt if args.matcher == "lightglue" else None,
+        device_pose=args.device_pose)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
