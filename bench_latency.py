@@ -139,10 +139,29 @@ def main():
 
     per_dense, _ = chained_device_time(dense_frame, img1, n_lo, n_hi)
 
+    # device-resident robust pose (vo/pose.ransac_essential_device):
+    # 2048 batched 8-point hypotheses + MSAC + LO + GN polish, one program
+    from nanovs_slam_tpu.vo.pose import ransac_essential_device
+
+    rs_p = np.random.RandomState(5)
+    kpn_a = jnp.asarray(rs_p.randn(512, 2).astype(np.float32) * 0.2)
+    kpn_b = kpn_a + 0.01 * jnp.asarray(
+        rs_p.randn(512, 2).astype(np.float32))
+    pose_key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def pose_scalar(a):
+        R, t, inl = ransac_essential_device(a, kpn_b, pose_key)
+        return (R.sum() + t.sum()
+                + inl.astype(jnp.float32).sum()).astype(jnp.float32)
+
+    per_pose, _ = chained_device_time(pose_scalar, kpn_a, n_lo, n_hi)
+
     print(json.dumps({
         "metric": "kp_extract_plus_lightglue_match_latency",
         "device_ms_per_frame_pair": round(per * 1e3, 3),
         "dense_mode_device_ms_per_frame": round(per_dense * 1e3, 3),
+        "device_ransac_pose_ms": round(per_pose * 1e3, 3),
         "host_loop_p50_ms": round(stats["p50_ms"], 3),
         "host_loop_p95_ms": round(stats["p95_ms"], 3),
         "match_only_static_p50_ms": round(timer2.stats()["static"]["p50_ms"],
