@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--lg_ckpt", default=None,
                    help="trained LightGlue checkpoint for --vo_matcher "
                         "lightglue")
+    p.add_argument("--device_pose", action="store_true",
+                   help="on-device LO-RANSAC pose instead of the host "
+                        "cv2 tail (pose.ransac_essential_device)")
     p.add_argument("--top_k", type=int, nargs="+", default=[300, 1000])
     p.add_argument("--im_h", type=int, default=240)
     p.add_argument("--im_w", type=int, default=320)
@@ -344,7 +347,8 @@ def main():
                         verbose=True, matcher=args.vo_matcher, dense=dense,
                         lightglue=(args.lg_ckpt
                                    if args.vo_matcher == "lightglue"
-                                   else None))
+                                   else None),
+                        device_pose=args.device_pose)
                     results[f"vo_{vo_h}x{vo_w}"] = r
                     print(f"VO {vo_h}x{vo_w}: {r['total']}")
                 except Exception as e:
