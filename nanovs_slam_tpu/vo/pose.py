@@ -64,7 +64,8 @@ def calculate_error_stats(errors: np.ndarray) -> Dict[str, float]:
 
 def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
                             n_hypotheses: int = 2048,
-                            threshold: float = 3e-4):
+                            threshold: float = 3e-4,
+                            lo_rounds: int = 2):
     """Device-resident robust essential-matrix pose: the TPU-native
     counterpart of the host tail `cv2.findEssentialMat(USAC_MSAC,
     threshold 3e-4) + cv2.recoverPose` (estimate_pose above; reference
@@ -154,8 +155,8 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         _, idx = jax.lax.top_k(g, 8)
         return idx
 
-    key1, key2, key3 = jax.random.split(key, 3)
-    E_h = solve_hypotheses(sample_idx(key1, v))
+    keys = jax.random.split(key, 1 + lo_rounds)
+    E_h = solve_hypotheses(sample_idx(keys[0], v))
 
     # --- MSAC scoring: Sampson distance, all hypotheses x all points ---
     h0 = jnp.concatenate([pts0, jnp.ones((N, 1))], -1)  # (N, 3)
@@ -192,7 +193,7 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     # degenerate ones when the support is tiny — is accept-if-better on
     # the FULL MSAC score, so the result can only improve; static shapes
     # throughout.
-    for k in (key2, key3):
+    for k in keys[1:]:
         E2_h = solve_hypotheses(sample_idx(k, inl))
         msac2 = jnp.where(v[None, :],
                           jnp.minimum(jax.vmap(sampson)(E2_h), t2),
