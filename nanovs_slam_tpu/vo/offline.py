@@ -1,0 +1,196 @@
+"""Offline sequence VO: the whole trajectory as a few XLA programs.
+
+The online loop (`vo/visual_odometry.py`) mirrors the reference's
+frame-at-a-time semantics (evaluation/visual_odometry.py:200-332),
+pipelining device extraction against the host pose tail. Offline
+*evaluation* has no such constraint, so this module restructures the
+whole sequence for the hardware:
+
+1. ONE batched forward extracts every frame's dense feature map —
+   batch = frames, the MXU's favourite axis (docs/KERNELS.md batch
+   scaling: cost quantizes to ceil(B/128) lane-tiles);
+2. ONE jitted `lax.map` over consecutive pairs fuses dense matching
+   (coarse dual-softmax + fine soft-argmax, `matching/dense.py`),
+   pinhole unprojection (device camera twin semantics,
+   `vo/camera.PinholeCameraDevice`), and the 2048-hypothesis device
+   RANSAC (`vo/pose.ransac_essential_device`) — zero host round-trips
+   inside the sequence;
+3. the host only integrates the (T-1) relative poses with GT scale and
+   computes the reference's error stats.
+
+Distortion is not modeled (same contract as the device camera twin —
+the reference's torch twin also delegates undistortion to cv2); KITTI's
+rectified frames have none.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..matching.dense import DenseMatcher, _l2n
+from .groundtruth import KittiVideoGroundTruth
+from .pose import (calculate_error_stats, calculate_relative_error,
+                   ransac_essential_device)
+
+
+class OfflineVO:
+    """Sequence-level VO on the dense (detector-free) matcher.
+
+    model/cfg/variables: a KP2DTiny-family model (same contract as
+    DenseMatcher). size: (H, W) inference size. cam: host PinholeCamera
+    carrying the ORIGINAL frame intrinsics (keypoints are rescaled to
+    the original frame before unprojection, reference
+    visual_odometry.py:310). n_matches: the dense top-N pose budget
+    (`VisualOdometry.DENSE_MIN_MATCHES` semantics, same measured
+    default); dense_conf: absolute-threshold branch of the same policy.
+    """
+
+    def __init__(self, model, cfg, variables, size: Tuple[int, int], cam,
+                 k: int = 512, n_matches: int = 400,
+                 dense_conf: float = 0.05, n_hypotheses: int = 2048,
+                 extract_chunk: int = 16):
+        import jax
+        import jax.numpy as jnp
+
+        self.dm = DenseMatcher(model, cfg, variables, size, k=k)
+        self.variables = variables
+        self.H, self.W = size
+        self.cam = cam
+        self.extract_chunk = extract_chunk
+        H, W = size
+        sx, sy = cam.width / W, cam.height / H
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+        dm, n_conf_needed = self.dm, n_matches
+        conf_thr = dense_conf
+
+        @jax.jit
+        def extract_batch(variables, imgs):
+            """(B, H, W, 3) in [-1, 1] -> (B, Hf, Wf, C) fine maps."""
+            out = model.apply(variables, imgs, False, False, ("desc",))
+            return _l2n(out["feat"])
+
+        @jax.jit
+        def pair_poses(fmaps, key):
+            """(T, Hf, Wf, C) -> per-pair (R, t, n_inliers, n_matches).
+
+            lax.map keeps peak memory at ONE pair's (N, N) coarse
+            affinity while still compiling the whole sequence into a
+            single program."""
+
+            def step(i):
+                kp0, kp1, conf = dm._match(fmaps[i], fmaps[i + 1])
+                rank = jnp.arange(conf.shape[0])
+                # dense match policy (visual_odometry.py dense_conf +
+                # DENSE_MIN_MATCHES fallback), branch-free: top_k sorts
+                # conf descending so rank < N is the top-N mask
+                n_over = (conf > conf_thr).sum()
+                keep = jnp.where(n_over >= n_conf_needed,
+                                 conf > conf_thr,
+                                 (rank < n_conf_needed) & (conf > 0.0))
+                scale = jnp.array([sx, sy], kp0.dtype)
+                kpn0 = (kp0 * scale - jnp.array([cx, cy])) \
+                    / jnp.array([fx, fy])
+                kpn1 = (kp1 * scale - jnp.array([cx, cy])) \
+                    / jnp.array([fx, fy])
+                R, t, inl = ransac_essential_device(
+                    kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
+                    n_hypotheses=n_hypotheses)
+                return R, t[:, 0], inl.sum(), keep.sum()
+
+            T = fmaps.shape[0]
+            return jax.lax.map(step, jnp.arange(T - 1))
+
+        self._extract_batch = extract_batch
+        self._pair_poses = pair_poses
+
+    def extract(self, frames01: np.ndarray):
+        """(T, H, W, 3) float [0, 1] -> device fine maps, chunked so the
+        first compile covers one fixed batch shape."""
+        import jax.numpy as jnp
+
+        x = (jnp.asarray(frames01, jnp.float32) - 0.5) * 2.0
+        c = self.extract_chunk
+        pad = (-len(x)) % c
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)])
+        maps = [self._extract_batch(self.variables, x[i:i + c])
+                for i in range(0, len(x), c)]
+        return jnp.concatenate(maps)[:len(frames01)]
+
+    def relative_poses(self, frames01: np.ndarray, seed: int = 0):
+        """(T, H, W, 3) float [0, 1] -> (R (T-1,3,3), t (T-1,3),
+        n_inliers (T-1,), n_matches (T-1,)) numpy arrays."""
+        import jax
+
+        fmaps = self.extract(frames01)
+        R, t, ninl, nmat = self._pair_poses(fmaps,
+                                            jax.random.PRNGKey(seed))
+        return (np.asarray(R), np.asarray(t), np.asarray(ninl),
+                np.asarray(nmat))
+
+
+def evaluate_visual_odometry_offline(model, cfg, variables,
+                                     kitti_path: str, gt_name: str,
+                                     video_name: str, new_size,
+                                     cam=None,
+                                     max_frames: Optional[int] = None,
+                                     n_matches: int = 400,
+                                     verbose: bool = False) -> Dict:
+    """Sequence-level counterpart of `evaluate_visual_odometry` (same
+    error math, reference evaluation/visual_odometry.py:165-176,318-332):
+    decode all frames, run OfflineVO, integrate with GT scale."""
+    import cv2
+
+    from .camera import PinholeCamera, kitti_params
+
+    gt = KittiVideoGroundTruth(kitti_path, gt_name)
+    cap = cv2.VideoCapture(f"{kitti_path}/{video_name}")
+    frames = []
+    while True:
+        ret, f = cap.read()
+        if not ret or (max_frames is not None
+                       and len(frames) >= max_frames):
+            break
+        frames.append(f)
+    cap.release()
+    if len(frames) < 3:
+        raise RuntimeError(f"need >= 3 frames, got {len(frames)}")
+    H, W = new_size
+    fx, fy, cx, cy = kitti_params()
+    if cam is None:
+        cam = PinholeCamera(frames[0].shape[1], frames[0].shape[0],
+                            fx, fy, cx, cy)
+
+    def prep(fr):
+        fr = cv2.cvtColor(fr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
+        return cv2.resize(fr, (W, H))  # float resize (quantization note
+        # in STATUS.md round-3 additions)
+
+    stack = np.stack([prep(f) for f in frames])
+    vo = OfflineVO(model, cfg, variables, (H, W), cam,
+                   n_matches=n_matches)
+    R, t, ninl, nmat = vo.relative_poses(stack)
+
+    t_errs, r_errs = [], []
+    for i in range(len(R)):
+        te, re = calculate_relative_error(gt, i + 1, R[i].astype(float),
+                                          t[i].astype(float)
+                                          .reshape(3, 1))
+        t_errs.append(te)
+        r_errs.append(re)
+    t_errs = np.array(t_errs[1:])  # reference drops the first pair
+    r_errs = np.array(r_errs[1:])
+    total = calculate_error_stats(t_errs + r_errs)
+    if not verbose:
+        return total
+    return {"translation": calculate_error_stats(t_errs),
+            "rotation": calculate_error_stats(r_errs),
+            "total": total,
+            "estimation_fails": 0,  # branch-free: every pair returns a
+            # pose; starved pairs surface as low n_inliers instead
+            "stats": {"n_matches": calculate_error_stats(
+                          nmat.astype(float)),
+                      "n_inliers": calculate_error_stats(
+                          ninl.astype(float))}}

@@ -37,6 +37,11 @@ def parse_args():
     p.add_argument("--lg_ckpt", default=None,
                    help="trained LightGlue checkpoint for --matcher "
                         "lightglue (train_lightglue.py output)")
+    p.add_argument("--offline", action="store_true",
+                   help="sequence-level offline VO (vo/offline.py): "
+                        "batched extraction + one lax.map program over "
+                        "pairs (dense matching + device RANSAC); no "
+                        "per-frame host round-trips")
     p.add_argument("--device_pose", action="store_true",
                    help="replace the host cv2 USAC_MSAC pose tail with "
                         "the on-device batched RANSAC "
@@ -74,6 +79,20 @@ def main():
                 load_torch_checkpoint
 
             params, batch_stats, _ = load_torch_checkpoint(args.model_path)
+
+    if args.offline:
+        from nanovs_slam_tpu.vo.offline import \
+            evaluate_visual_odometry_offline
+
+        results = evaluate_visual_odometry_offline(
+            model, cfg, {"params": params, "batch_stats": batch_stats},
+            args.kitti_path, args.gt_name, args.video_name, (H, W),
+            max_frames=args.max_frames, verbose=True)
+        print(json.dumps(results, indent=2, default=str))
+        with open(args.out, "w") as f:
+            json.dump({"args": vars(args), "results": results}, f,
+                      indent=2, default=str)
+        return
 
     fe = KP2DTinyFrontend(
         model, cfg, {"params": params, "batch_stats": batch_stats},
