@@ -71,6 +71,29 @@ class OfflineVO:
             out = model.apply(variables, imgs, False, False, ("desc",))
             return _l2n(out["feat"])
 
+        def pair_step(f0, f1, i, key):
+            """One pair: dense match -> unproject -> device RANSAC.
+            `i` is the GLOBAL pair index (keys the RANSAC sampler), so
+            sharded and unsharded runs produce bit-identical poses."""
+            kp0, kp1, conf = dm._match(f0, f1)
+            rank = jnp.arange(conf.shape[0])
+            # dense match policy (visual_odometry.py dense_conf +
+            # DENSE_MIN_MATCHES fallback), branch-free: top_k sorts
+            # conf descending so rank < N is the top-N mask
+            n_over = (conf > conf_thr).sum()
+            keep = jnp.where(n_over >= n_conf_needed,
+                             conf > conf_thr,
+                             (rank < n_conf_needed) & (conf > 0.0))
+            scale = jnp.array([sx, sy], kp0.dtype)
+            kpn0 = (kp0 * scale - jnp.array([cx, cy])) \
+                / jnp.array([fx, fy])
+            kpn1 = (kp1 * scale - jnp.array([cx, cy])) \
+                / jnp.array([fx, fy])
+            R, t, inl = ransac_essential_device(
+                kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
+                n_hypotheses=n_hypotheses)
+            return R, t[:, 0], inl.sum(), keep.sum()
+
         @jax.jit
         def pair_poses(fmaps, key):
             """(T, Hf, Wf, C) -> per-pair (R, t, n_inliers, n_matches).
@@ -80,30 +103,68 @@ class OfflineVO:
             single program."""
 
             def step(i):
-                kp0, kp1, conf = dm._match(fmaps[i], fmaps[i + 1])
-                rank = jnp.arange(conf.shape[0])
-                # dense match policy (visual_odometry.py dense_conf +
-                # DENSE_MIN_MATCHES fallback), branch-free: top_k sorts
-                # conf descending so rank < N is the top-N mask
-                n_over = (conf > conf_thr).sum()
-                keep = jnp.where(n_over >= n_conf_needed,
-                                 conf > conf_thr,
-                                 (rank < n_conf_needed) & (conf > 0.0))
-                scale = jnp.array([sx, sy], kp0.dtype)
-                kpn0 = (kp0 * scale - jnp.array([cx, cy])) \
-                    / jnp.array([fx, fy])
-                kpn1 = (kp1 * scale - jnp.array([cx, cy])) \
-                    / jnp.array([fx, fy])
-                R, t, inl = ransac_essential_device(
-                    kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
-                    n_hypotheses=n_hypotheses)
-                return R, t[:, 0], inl.sum(), keep.sum()
+                return pair_step(fmaps[i], fmaps[i + 1], i, key)
 
             T = fmaps.shape[0]
             return jax.lax.map(step, jnp.arange(T - 1))
 
         self._extract_batch = extract_batch
         self._pair_poses = pair_poses
+        self._pair_step = pair_step
+        self._pair_poses_sharded = {}
+
+    def _build_sharded(self, mesh):
+        """Shard the PAIR axis of the sequence across a device mesh: each
+        device runs lax.map over its local slice of consecutive-pair
+        feature maps (pure data parallelism — pairs are independent, no
+        collectives needed). Global pair indices ride along so the
+        per-pair RANSAC keys — and therefore the poses — are
+        bit-identical to the single-device run."""
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        pair_step = self._pair_step
+
+        def local(f0s, f1s, idxs, key):
+            return jax.lax.map(
+                lambda args: pair_step(args[0], args[1], args[2], key),
+                (f0s, f1s, idxs))
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis), P()),
+                       out_specs=P(axis), check_rep=False)
+        return jax.jit(fn)
+
+    def relative_poses_sharded(self, frames01: np.ndarray, mesh,
+                               seed: int = 0):
+        """Multi-device offline VO: pairs sharded over `mesh`'s first
+        axis. Pads the pair count to a multiple of the axis size
+        (replicating the last pair) and drops the pads after. Same
+        per-pair programs + keys as relative_poses; match sets are
+        exactly equal, poses equal up to MSAC ulp-ties.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        n_dev = mesh.shape[mesh.axis_names[0]]
+        if mesh not in self._pair_poses_sharded:
+            self._pair_poses_sharded[mesh] = self._build_sharded(mesh)
+        fmaps = self.extract(frames01)
+        f0s, f1s = fmaps[:-1], fmaps[1:]
+        n_pairs = f0s.shape[0]
+        idxs = jnp.arange(n_pairs)
+        pad = (-n_pairs) % n_dev
+        if pad:
+            f0s = jnp.concatenate([f0s, jnp.repeat(f0s[-1:], pad, 0)])
+            f1s = jnp.concatenate([f1s, jnp.repeat(f1s[-1:], pad, 0)])
+            idxs = jnp.concatenate([idxs,
+                                    jnp.repeat(idxs[-1:], pad, 0)])
+        R, t, ninl, nmat = self._pair_poses_sharded[mesh](
+            f0s, f1s, idxs, jax.random.PRNGKey(seed))
+        return (np.asarray(R)[:n_pairs], np.asarray(t)[:n_pairs],
+                np.asarray(ninl)[:n_pairs], np.asarray(nmat)[:n_pairs])
 
     def extract(self, frames01: np.ndarray):
         """(T, H, W, 3) float [0, 1] -> device fine maps, chunked so the

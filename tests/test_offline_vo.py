@@ -76,3 +76,32 @@ def test_offline_extract_chunking_invariant(setup):
     fb = np.asarray(vo_b.extract(frames))
     np.testing.assert_allclose(fa, fb, atol=1e-6)
     assert fa.shape[0] == T
+
+
+def test_offline_vo_sharded_pairs_match_single_device(setup):
+    """relative_poses_sharded over an 8-device mesh: pairs are pure
+    data parallelism; global pair indices key the RANSAC sampler on both
+    paths, so the hypothesis streams are identical. Final poses can
+    still differ where accept-if-better MSAC comparisons tie at float
+    ulp (XLA fuses the two programs differently), so the contract tested
+    is: identical match sets (pre-RANSAC, deterministic) + equivalent
+    pose quality (inlier support within a few counts) + valid poses."""
+    from jax.sharding import Mesh
+
+    from nanovs_slam_tpu.vo.offline import OfflineVO
+
+    cfg, model, variables, cam, frames = setup
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the forced multi-device CPU mesh")
+    vo = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_matches=64, extract_chunk=T)
+    R0, t0, ninl0, nmat0 = vo.relative_poses(frames, seed=7)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    R1, t1, ninl1, nmat1 = vo.relative_poses_sharded(frames, mesh,
+                                                     seed=7)
+    np.testing.assert_array_equal(nmat0, nmat1)  # matcher: exact
+    assert np.abs(ninl0.astype(int) - ninl1.astype(int)).max() <= 5
+    for Ri in R1:
+        np.testing.assert_allclose(Ri @ Ri.T, np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(t1, axis=1), 1.0,
+                               atol=1e-4)
