@@ -74,7 +74,8 @@ class OfflineVO:
         def pair_step(f0, f1, i, key):
             """One pair: dense match -> unproject -> device RANSAC.
             `i` is the GLOBAL pair index (keys the RANSAC sampler), so
-            sharded and unsharded runs produce bit-identical poses."""
+            sharded and unsharded runs draw identical hypothesis
+            streams."""
             kp0, kp1, conf = dm._match(f0, f1)
             rank = jnp.arange(conf.shape[0])
             # dense match policy (visual_odometry.py dense_conf +
@@ -118,8 +119,9 @@ class OfflineVO:
         device runs lax.map over its local slice of consecutive-pair
         feature maps (pure data parallelism — pairs are independent, no
         collectives needed). Global pair indices ride along so the
-        per-pair RANSAC keys — and therefore the poses — are
-        bit-identical to the single-device run."""
+        per-pair RANSAC hypothesis streams are identical to the
+        single-device run (poses differ only on accept-if-better MSAC
+        ulp-ties under different program fusion)."""
         import jax
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
