@@ -145,13 +145,18 @@ def main():
 
     rs_p = np.random.RandomState(5)
     kpn_a = jnp.asarray(rs_p.randn(512, 2).astype(np.float32) * 0.2)
-    kpn_b = kpn_a + 0.01 * jnp.asarray(
-        rs_p.randn(512, 2).astype(np.float32))
     pose_key = jax.random.PRNGKey(0)
 
     @jax.jit
     def pose_scalar(a):
-        R, t, inl = ransac_essential_device(a, kpn_b, pose_key)
+        # derive the second operand AND the key from the chained input:
+        # a constant key/operand would let XLA hoist the gumbel
+        # hypothesis draw and one Hartley normalization out of the timed
+        # scan body (in production the key varies per frame via fold_in)
+        b = a * 0.98 + 0.005
+        k = jax.random.fold_in(pose_key,
+                               (a[0, 0] * 1e6).astype(jnp.int32))
+        R, t, inl = ransac_essential_device(a, b, k)
         return (R.sum() + t.sum()
                 + inl.astype(jnp.float32).sum()).astype(jnp.float32)
 

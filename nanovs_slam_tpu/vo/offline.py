@@ -31,8 +31,8 @@ import numpy as np
 
 from ..matching.dense import DenseMatcher, _l2n
 from .groundtruth import KittiVideoGroundTruth
-from .pose import (calculate_error_stats, calculate_relative_error,
-                   ransac_essential_device)
+from .pose import (assemble_vo_error_stats, calculate_error_stats,
+                   calculate_relative_error, ransac_essential_device)
 
 
 class OfflineVO:
@@ -123,8 +123,11 @@ class OfflineVO:
         single-device run (poses differ only on accept-if-better MSAC
         ulp-ties under different program fusion)."""
         import jax
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # older jax: experimental alias
+            from jax.experimental.shard_map import shard_map
 
         axis = mesh.axis_names[0]
         pair_step = self._pair_step
@@ -136,7 +139,7 @@ class OfflineVO:
 
         fn = shard_map(local, mesh=mesh,
                        in_specs=(P(axis), P(axis), P(axis), P()),
-                       out_specs=P(axis), check_rep=False)
+                       out_specs=P(axis))
         return jax.jit(fn)
 
     def relative_poses_sharded(self, frames01: np.ndarray, mesh,
@@ -226,12 +229,9 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
         cam = PinholeCamera(frames[0].shape[1], frames[0].shape[0],
                             fx, fy, cx, cy)
 
-    def prep(fr):
-        fr = cv2.cvtColor(fr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
-        return cv2.resize(fr, (W, H))  # float resize (quantization note
-        # in STATUS.md round-3 additions)
+    from .visual_odometry import prep_frame
 
-    stack = np.stack([prep(f) for f in frames])
+    stack = np.stack([prep_frame(f, (H, W)) for f in frames])
     vo = OfflineVO(model, cfg, variables, (H, W), cam,
                    n_matches=n_matches)
     R, t, ninl, nmat = vo.relative_poses(stack)
@@ -243,14 +243,10 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
                                           .reshape(3, 1))
         t_errs.append(te)
         r_errs.append(re)
-    t_errs = np.array(t_errs[1:])  # reference drops the first pair
-    r_errs = np.array(r_errs[1:])
-    total = calculate_error_stats(t_errs + r_errs)
+    errs = assemble_vo_error_stats(t_errs, r_errs)
     if not verbose:
-        return total
-    return {"translation": calculate_error_stats(t_errs),
-            "rotation": calculate_error_stats(r_errs),
-            "total": total,
+        return errs["total"]
+    return {**errs,
             "estimation_fails": 0,  # branch-free: every pair returns a
             # pose; starved pairs surface as low n_inliers instead
             "stats": {"n_matches": calculate_error_stats(

@@ -62,6 +62,19 @@ def calculate_error_stats(errors: np.ndarray) -> Dict[str, float]:
             "min": float(errors.min())}
 
 
+def assemble_vo_error_stats(t_errs, r_errs) -> Dict:
+    """Per-pair error lists -> the reference's verbose stats layout
+    (evaluation/visual_odometry.py:318-332): the FIRST pair is dropped
+    (the reference's loop warm-up) and translation/rotation/total each
+    get mean/sum/std/max/min. Shared by the online and offline eval
+    paths so the error-math contract lives in one place."""
+    t = np.asarray(t_errs[1:], float)
+    r = np.asarray(r_errs[1:], float)
+    return {"translation": calculate_error_stats(t),
+            "rotation": calculate_error_stats(r),
+            "total": calculate_error_stats(t + r)}
+
+
 def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
                             n_hypotheses: int = 2048,
                             threshold: float = 3e-4,
@@ -231,10 +244,14 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         r0 = -(a * t.T).sum(-1)
         r1 = (b * t.T).sum(-1)
         det = M00 * M11 - M01 * M01
-        safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        # near-parallel rays (pure-rotation / distant points) make det ~ 0
+        # and z-signs numerical noise — such points must NOT vote
+        # (cv2.recoverPose masks them too)
+        ok = jnp.abs(det) >= 1e-12
+        safe = jnp.where(ok, det, 1.0)
         z0 = (M11 * r0 - M01 * r1) / safe
         z1 = (M00 * r1 - M01 * r0) / safe
-        return (((z0 > 0) & (z1 > 0)).astype(dt) * wf).sum()
+        return (((z0 > 0) & (z1 > 0) & ok).astype(dt) * wf).sum()
 
     cands = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
     votes = jnp.stack([depth_votes(R, t) for R, t in cands])
@@ -381,11 +398,11 @@ def estimate_pose_device(kpn_ref, kpn_cur):
         r0 = -(a * t.T).sum(-1)
         r1 = (b * t.T).sum(-1)
         det = M00 * M11 - M01 * M01
-        z0 = (M11 * r0 - M01 * r1) / jnp.where(jnp.abs(det) < 1e-12, 1.0,
-                                               det)
-        z1 = (M00 * r1 - M01 * r0) / jnp.where(jnp.abs(det) < 1e-12, 1.0,
-                                               det)
-        return ((z0 > 0) & (z1 > 0)).sum()
+        ok = jnp.abs(det) >= 1e-12  # degenerate rays must not vote
+        safe = jnp.where(ok, det, 1.0)
+        z0 = (M11 * r0 - M01 * r1) / safe
+        z1 = (M00 * r1 - M01 * r0) / safe
+        return ((z0 > 0) & (z1 > 0) & ok).sum()
 
     cands = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
     votes = jnp.stack([depth_votes(R, t) for R, t in cands])

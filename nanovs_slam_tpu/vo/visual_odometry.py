@@ -378,6 +378,24 @@ def load_lightglue_for_vo(lg_ckpt: str, nfeatures: int, frame_size,
             tuple(frame_size), max_n)
 
 
+def prep_frame(frame_bgr: np.ndarray, new_size=None) -> np.ndarray:
+    """BGR uint8 frame -> RGB float [0,1] at new_size (H, W).
+
+    Resizes in FLOAT: uint8 cv2.resize quantizes the interpolated values
+    back to 8 bits, a ~0.2%-per-pixel noise floor that is enough to flip
+    ratio-test survivors downstream (the reference resizes float
+    tensors, visual_odometry.py:77-80). Shared by the online and offline
+    (vo/offline.py) eval paths so their input numerics stay identical.
+    """
+    import cv2
+
+    rgb = cv2.cvtColor(frame_bgr,
+                       cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    if new_size is not None:
+        rgb = cv2.resize(rgb, (new_size[1], new_size[0]))
+    return rgb
+
+
 def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              video_name: str, new_size=None,
                              max_frames: Optional[int] = None,
@@ -403,14 +421,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
     cam = PinholeCamera(size[1], size[0], fx, fy, cx, cy)
 
     def prep(f):
-        # resize in FLOAT: uint8 cv2.resize quantizes the interpolated
-        # values back to 8 bits, a ~0.2%-per-pixel noise floor that is
-        # enough to flip ratio-test survivors downstream (the reference
-        # resizes float tensors, visual_odometry.py:77-80)
-        rgb = cv2.cvtColor(f, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        if new_size is not None:
-            rgb = cv2.resize(rgb, (new_size[1], new_size[0]))
-        return rgb
+        return prep_frame(f, new_size)
 
     sx = size[1] / (new_size[1] if new_size else size[1])
     sy = size[0] / (new_size[0] if new_size else size[0])
@@ -484,16 +495,13 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
             break
         pending = (img, handle)
 
-    t_errs = np.array(t_errs[1:])
-    r_errs = np.array(r_errs[1:])
-    total = t_errs + r_errs
-    result = calculate_error_stats(total)
+    from .pose import assemble_vo_error_stats
+
+    errs = assemble_vo_error_stats(t_errs, r_errs)
     if verbose:
-        return {"translation": calculate_error_stats(t_errs),
-                "rotation": calculate_error_stats(r_errs),
-                "total": result,
+        return {**errs,
                 "estimation_fails": vo.estimation_fails,
                 "stats": vo.stats.as_dict(),
                 "trajectory": [t.reshape(3).tolist()
                                for t in vo.trajectory]}
-    return result
+    return errs["total"]

@@ -28,9 +28,9 @@ def setup():
     params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
     variables = {"params": params, "batch_stats": bs}
     cam = PinholeCamera(W, H, 120.0, 120.0, W / 2, H / 2)
+    cv2 = pytest.importorskip("cv2")
     rs = np.random.RandomState(0)
     base = rs.rand(H // 8 + 6, (W + T * 4) // 8 + 6, 3).astype(np.float32)
-    import cv2
     tex = cv2.resize(base, (W + T * 4, H), interpolation=cv2.INTER_CUBIC)
     frames = np.stack([tex[:, 4 * i:4 * i + W] for i in range(T)])
     return cfg, model, variables, cam, np.clip(frames, 0, 1)

@@ -84,6 +84,17 @@ def main():
         from nanovs_slam_tpu.vo.offline import \
             evaluate_visual_odometry_offline
 
+        ignored = []
+        if args.matcher != "dense":
+            ignored.append(f"--matcher {args.matcher} (offline VO is the "
+                           "dense detector-free pipeline)")
+        for flag, default in (("device_pose", False), ("plot", False),
+                              ("semantic_filter", False),
+                              ("lg_ckpt", None)):
+            if getattr(args, flag) != default:
+                ignored.append(f"--{flag}")
+        if ignored:
+            print("WARNING: --offline ignores: " + ", ".join(ignored))
         results = evaluate_visual_odometry_offline(
             model, cfg, {"params": params, "batch_stats": batch_stats},
             args.kitti_path, args.gt_name, args.video_name, (H, W),
