@@ -88,7 +88,7 @@ def main():
         if args.matcher != "dense":
             ignored.append(f"--matcher {args.matcher} (offline VO is the "
                            "dense detector-free pipeline)")
-        for flag, default in (("device_pose", False), ("plot", False),
+        for flag, default in (("device_pose", False),
                               ("semantic_filter", False),
                               ("lg_ckpt", None)):
             if getattr(args, flag) != default:
@@ -103,6 +103,13 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"args": vars(args), "results": results}, f,
                       indent=2, default=str)
+        if args.plot:
+            from nanovs_slam_tpu.utils.plot import plot_trajectory
+
+            print("trajectory plot written to",
+                  plot_trajectory(results.get("trajectory", []),
+                                  path=args.out.replace(
+                                      ".json", "_traj.png")))
         return
 
     fe = KP2DTinyFrontend(
