@@ -1,63 +1,100 @@
 """Benchmark: KP2Dtiny-N multitask inference FPS/chip at 320x240.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): >= 2000 FPS/chip on TPU v5e, so
-vs_baseline = fps / 2000.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (the LAST
+such line on stdout is the headline; earlier ones are incremental updates
+so a mid-run kill still leaves a parseable result). Baseline target
+(BASELINE.md): >= 2000 FPS/chip on TPU v5e, so vs_baseline = fps / 2000.
+
+Outage hardening (VERDICT r3 weak #1): the tunneled TPU backend drops for
+30+ minutes at a time, and round 3's driver run burned its entire budget
+probing a dead tunnel (BENCH_r03.json rc=124, parsed: null). The contract
+now is: a parseable JSON line is emitted within the driver budget NO
+MATTER WHAT.
+ - Backend probing is capped at ~120s TOTAL (not per-attempt).
+ - The actual measurement runs in a supervised SUBPROCESS sharing stdout:
+   it prints the headline JSON line after the FIRST measured batch size
+   and re-prints it whenever a better batch lands, so a hang/timeout
+   mid-measure still leaves the earlier lines flushed.
+ - If the child produced nothing (tunnel died before the first
+   measurement), the parent prints a value-0 fallback line.
+Total self-imposed wall budget: BENCH_BUDGET_S (default 780s).
 
 Measurement method: N_ITER model invocations are chained inside ONE jitted
 lax.scan with a data dependency between iterations, and a single scalar is
 fetched at the end. This forces strictly sequential on-device execution and
 is immune to async-dispatch measurement artifacts (on tunneled PJRT
 backends, jax.block_until_ready can return before execution finishes,
-inflating naive loop timings by >100x).
+inflating naive loop timings by >100x). Two chain lengths are used and the
+slope taken, cancelling the fixed ~29 ms tunnel RTT
+(utils/profiling.chained_device_time).
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
+_METRIC = "kp2dtiny_N_multitask_fps_per_chip_320x240"
 
 
-def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0):
-    """Wait (bounded) for the tunneled TPU backend to come up.
+def _headline(fps: float) -> str:
+    return json.dumps({
+        "metric": _METRIC,
+        "value": round(fps, 1),
+        "unit": "FPS",
+        "vs_baseline": round(fps / 2000.0, 4),
+    })
+
+
+def wait_for_backend(max_wait_s: float = 110.0, probe_timeout_s: float = 45.0):
+    """Wait (bounded, ~2 min TOTAL) for the tunneled TPU backend.
 
     The axon tunnel occasionally drops for minutes at a time; a bench
     started during an outage would otherwise block in backend init and
     then die with 'Unable to initialize backend'. Probe in a SUBPROCESS
     (in-process jax caches a failed backend) until jax.devices() answers
-    or the budget runs out, then proceed either way."""
-    import subprocess
-
+    or the budget runs out, then proceed either way. The budget is total
+    across all attempts — round 3 lost its entire driver window to
+    6 x ~130s probes."""
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
+        budget = deadline - time.time()
+        if budget <= 1.0:
+            print(f"# backend probe failed {attempt - 1}x; budget "
+                  f"({max_wait_s:.0f}s) exhausted; proceeding anyway",
+                  file=sys.stderr)
+            return False
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                check=True, timeout=probe_timeout_s,
+                check=True, timeout=min(probe_timeout_s, budget),
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            # don't start a probe that can't finish inside the budget
-            if time.time() + 15.0 + probe_timeout_s > deadline:
-                print(f"# backend probe failed {attempt}x over "
-                      f"{time.time() - (deadline - max_wait_s):.0f}s; "
-                      f"proceeding anyway", file=sys.stderr)
-                return False
-            time.sleep(15.0)
+            time.sleep(min(10.0, max(0.0, deadline - time.time())))
 
 
-def main():
+def measure(marker_path: str | None = None, budget_s: float = 1e9):
+    """Run the actual FPS measurement, printing an incremental headline
+    JSON line after every batch size that improves the best FPS. Touches
+    marker_path once the first line is out (the parent's 'child produced
+    output' signal)."""
+    import jax
+    import jax.numpy as jnp
+
     from nanovs_slam_tpu.configs import get_config
     from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
     from nanovs_slam_tpu.ops.postprocess import post_process
+    from nanovs_slam_tpu.utils.profiling import chained_device_time
 
+    t0 = time.time()
     H, W = 240, 320
     on_tpu = jax.default_backend() == "tpu"
     cfg = get_config("N", n_classes=28,
@@ -91,32 +128,69 @@ def main():
                 + post["seg"].astype(jnp.float32).sum()
                 + post["vlad"].astype(jnp.float32).sum())
 
-    # DIFFERENTIAL chained timing (utils/profiling.chained_device_time):
-    # one fetch of a dependency-chained scan costs (harness RTT + n *
-    # device_time) on the tunneled backend — the fixed RTT is ~29 ms here
-    # and skewed round-1 numbers at n=10. The two-length slope measures
-    # pure device time; the RTT is reported for transparency.
-    from nanovs_slam_tpu.utils.profiling import chained_device_time
-
     n_lo, n_hi = (5, 30) if on_tpu else (1, 3)
     best_fps = 0.0
-    for B in ([64, 128, 256] if on_tpu else [4]):
+    # B=128 first: the known-optimal lane-tile batch (docs/KERNELS.md) —
+    # the FIRST printed headline should already be the representative one.
+    for B in ([128, 64, 256] if on_tpu else [4]):
+        if best_fps > 0 and time.time() - t0 > budget_s:
+            print(f"# budget reached; skipping B={B}", file=sys.stderr)
+            continue
         x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
                               jnp.float32)
         dt, rtt = chained_device_time(one, x, n_lo, n_hi)
         fps = B / dt
-        best_fps = max(best_fps, fps)
         print(f"# B={B}: {dt * 1e3:.2f} ms/iter -> {fps:.1f} FPS "
               f"(harness rtt {rtt * 1e3:.1f} ms)", file=sys.stderr)
+        if fps > best_fps:
+            best_fps = fps
+            print(_headline(best_fps), flush=True)
+            if marker_path:
+                with open(marker_path, "w") as f:
+                    f.write("ok")
 
-    print(json.dumps({
-        "metric": "kp2dtiny_N_multitask_fps_per_chip_320x240",
-        "value": round(best_fps, 1),
-        "unit": "FPS",
-        "vs_baseline": round(best_fps / 2000.0, 4),
-    }))
+
+def main():
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "780"))
+    t0 = time.time()
+    wait_for_backend(max_wait_s=min(110.0, budget_s / 4))
+
+    marker = tempfile.NamedTemporaryFile(prefix="bench_marker_",
+                                         suffix=".txt", delete=False)
+    marker.close()
+    os.unlink(marker.name)
+
+    remaining = max(60.0, budget_s - (time.time() - t0) - 15.0)
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure", marker.name,
+         str(remaining - 30.0)],
+        start_new_session=True)
+    try:
+        rc = child.wait(timeout=remaining)
+        if rc != 0:
+            print(f"# measurement child exited rc={rc}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# measurement child exceeded {remaining:.0f}s; killing",
+              file=sys.stderr)
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        child.wait()
+
+    if os.path.exists(marker.name):
+        os.unlink(marker.name)  # child printed >=1 headline line already
+    else:
+        # nothing measured (tunnel dead through the whole budget): still
+        # honor the parseable-line contract with an explicit zero.
+        print("# no measurement completed (backend unavailable); "
+              "emitting zero headline", file=sys.stderr)
+        print(_headline(0.0), flush=True)
 
 
 if __name__ == "__main__":
-    wait_for_backend()
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        measure(sys.argv[2] if len(sys.argv) > 2 else None,
+                float(sys.argv[3]) if len(sys.argv) > 3 else 1e9)
+    else:
+        main()

@@ -123,6 +123,47 @@ def main():
             "p50_ms": round(timer2.stats()[tag]["p50_ms"], 3),
             "exit_layer": pred["exit_layer"]}
 
+    # adaptive WIDTH pruning (static bucket compaction,
+    # matching/width_pruning.py; reference lightglue.py:564-594):
+    # match-only latency pruned vs unpruned at K=512 / K=1024
+    from nanovs_slam_tpu.matching.width_pruning import width_pruned_forward
+
+    wp_stats = {}
+    for Kw in (512, 1024):
+        rs_w = np.random.RandomState(11)
+        kpw0 = jnp.asarray(rs_w.uniform(-1, 1, (1, Kw, 2))
+                           .astype(np.float32))
+        kpw1 = jnp.asarray(rs_w.uniform(-1, 1, (1, Kw, 2))
+                           .astype(np.float32))
+        dw0 = jnp.asarray(rs_w.randn(1, Kw, lg_cfg.input_dim)
+                          .astype(np.float32))
+        dw1 = jnp.asarray(rs_w.randn(1, Kw, lg_cfg.input_dim)
+                          .astype(np.float32))
+
+        def wp_data(d0):
+            return {"keypoints0": kpw0, "keypoints1": kpw1,
+                    "descriptors0": d0, "descriptors1": dw1}
+
+        @jax.jit
+        def wp_static(d0):
+            pred = matcher.apply({"params": lg_params}, wp_data(d0))
+            return (pred["matches0"].sum()
+                    + pred["matching_scores0"].sum()).astype(jnp.float32)
+
+        @jax.jit
+        def wp_pruned(d0):
+            pred = width_pruned_forward(matcher, lg_params, wp_data(d0),
+                                        0.99)
+            return (pred["matches0"].sum()
+                    + pred["matching_scores0"].sum()).astype(jnp.float32)
+
+        per_s, _ = chained_device_time(wp_static, dw0, n_lo, n_hi)
+        per_p, _ = chained_device_time(wp_pruned, dw0, n_lo, n_hi)
+        wp_stats[f"width_pruning_K{Kw}"] = {
+            "static_ms": round(per_s * 1e3, 3),
+            "pruned_ms": round(per_p * 1e3, 3),
+            "speedup": round(per_s / per_p, 3)}
+
     # detector-free dense mode (VO dense matcher per-frame work: one
     # dense-map extraction + coarse dual-softmax / fine soft-argmax
     # match against the device-resident previous map)
@@ -162,16 +203,37 @@ def main():
 
     per_pose, _ = chained_device_time(pose_scalar, kpn_a, n_lo, n_hi)
 
+    # offline sequence VO throughput (vo/offline.py): whole 30-frame
+    # trajectory as a few XLA programs — batched extraction + ONE
+    # lax.map over pairs (match + unproject + device RANSAC). Host
+    # wall-clock over the full sequence; the ~29 ms tunnel RTT is
+    # amortized across the sequence (3 fetches total).
+    from nanovs_slam_tpu.vo.camera import PinholeCamera
+    from nanovs_slam_tpu.vo.offline import OfflineVO
+
+    T, Hv, Wv = 30, 128, 512
+    frames = rs.rand(T, Hv, Wv, 3).astype(np.float32)
+    cam = PinholeCamera(Wv, Hv, 350.0, 350.0, Wv / 2, Hv / 2)
+    ovo = OfflineVO(model, cfg, variables, (Hv, Wv), cam)
+    ovo.relative_poses(frames)  # compile + warm
+    t0 = time.time()
+    reps = 3 if on_tpu else 1
+    for _ in range(reps):
+        ovo.relative_poses(frames)
+    offline_fps = T * reps / (time.time() - t0)
+
     print(json.dumps({
         "metric": "kp_extract_plus_lightglue_match_latency",
         "device_ms_per_frame_pair": round(per * 1e3, 3),
         "dense_mode_device_ms_per_frame": round(per_dense * 1e3, 3),
         "device_ransac_pose_ms": round(per_pose * 1e3, 3),
+        "offline_vo_sequence_fps": round(offline_fps, 1),
         "host_loop_p50_ms": round(stats["p50_ms"], 3),
         "host_loop_p95_ms": round(stats["p95_ms"], 3),
         "match_only_static_p50_ms": round(timer2.stats()["static"]["p50_ms"],
                                           3),
         **adaptive_stats,
+        **wp_stats,
     }))
 
 

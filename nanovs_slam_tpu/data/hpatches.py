@@ -27,6 +27,10 @@ def scale_homography(homography: np.ndarray, original_scale, new_scale,
     return homography @ sinv
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
 def ensure_synthetic_hpatches(root: str = "fixtures/hpatches_synth",
                               seed: int = 0) -> str:
     """Generate (once, deterministically) the discriminative synthetic
@@ -34,6 +38,10 @@ def ensure_synthetic_hpatches(root: str = "fixtures/hpatches_synth",
     pairs (scripts/make_synthetic_hpatches.py). Used as the keypoint-eval
     fallback when no real HPatches checkout is configured; the fixture is
     seeded so every machine regenerates identical data."""
+    # anchor relative roots to the repo dir, not the CWD — running eval
+    # from elsewhere would silently regenerate the fixture (ADVICE r3)
+    if not os.path.isabs(root):
+        root = os.path.join(_REPO, root)
     marker = os.path.join(root, "v_synth07", "H_1_6")
     if not os.path.exists(marker):
         import subprocess

@@ -340,6 +340,16 @@ class LightGlue(nn.Module):
         conf = jnp.concatenate([t0, t1], -1)
         return 1.0 - jnp.mean((conf < thr).astype(jnp.float32))
 
+    def matchability(self, i: int, desc) -> Array:
+        """sigmoid matchability of layer i's assigner (:577,583) — the
+        width-pruning keep signal."""
+        return self.assigners[i].get_matchability(desc)
+
+    def token_confidence(self, i: int, desc0, desc1):
+        """TokenConfidence head i outputs (used by width pruning's
+        low-confidence-points-are-never-pruned rule, :619-624)."""
+        return self.confidences[i](desc0, desc1)
+
     def finalize(self, i: int, desc0, desc1, mask0=None, mask1=None
                  ) -> Dict[str, Array]:
         """Assignment + match filtering with the EXIT layer's assigner —

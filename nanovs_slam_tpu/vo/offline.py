@@ -246,13 +246,17 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
     errs = assemble_vo_error_stats(t_errs, r_errs)
     if not verbose:
         return errs["total"]
-    # integrate the trajectory with GT scale (reference pose-integration
-    # convention, visual_odometry.py:336-337) for plotting
+    # integrate the trajectory with scale 1.0 — the SAME convention the
+    # online eval path emits (evaluate_visual_odometry calls
+    # process_image without absolute_scale, matching the reference's
+    # eval loop), so the two verbose 'trajectory' outputs are directly
+    # comparable (ADVICE r3)
     cur_R, cur_t = np.eye(3), np.zeros((3, 1))
+    # leading zero entry matches VisualOdometry.init's append, so both
+    # trajectories have one entry per frame
     trajectory = [cur_t.reshape(3).tolist()]
     for i in range(len(R)):
-        scale = gt.get_pose_and_absolute_scale(i)[3]
-        cur_t = cur_t + scale * cur_R @ t[i].astype(float).reshape(3, 1)
+        cur_t = cur_t + cur_R @ t[i].astype(float).reshape(3, 1)
         cur_R = cur_R @ R[i].astype(float)
         trajectory.append(cur_t.reshape(3).tolist())
     return {**errs,

@@ -227,17 +227,24 @@ class VisualOdometry:
 
         model, params, size, max_n = self.lightglue
         def pad(a, n, v=0.0):
+            # truncate before padding: a frontend configured with
+            # top_k > max_n would otherwise hit a shape mismatch here
+            # (ADVICE r3). Frontend keypoints are score-sorted, so the
+            # kept prefix is the strongest max_n.
+            a = a[:n]
             out = np.full((n,) + a.shape[1:], v, a.dtype)
             out[:len(a)] = a
             return out
 
-        n0, n1 = len(self.kps_prev), len(kps)
+        kps_prev, feat_prev = self.kps_prev[:max_n], self.feat_prev[:max_n]
+        kps, feat = kps[:max_n], feat[:max_n]
+        n0, n1 = len(kps_prev), len(kps)
         data = {
             "keypoints0": normalize_keypoints(
-                jnp.asarray(pad(self.kps_prev, max_n)[None]), size),
+                jnp.asarray(pad(kps_prev, max_n)[None]), size),
             "keypoints1": normalize_keypoints(
                 jnp.asarray(pad(kps, max_n)[None]), size),
-            "descriptors0": jnp.asarray(pad(self.feat_prev, max_n)[None]),
+            "descriptors0": jnp.asarray(pad(feat_prev, max_n)[None]),
             "descriptors1": jnp.asarray(pad(feat, max_n)[None]),
             "mask0": jnp.asarray((np.arange(max_n) < n0)[None]),
             "mask1": jnp.asarray((np.arange(max_n) < n1)[None]),
@@ -247,7 +254,7 @@ class VisualOdometry:
         valid = m0 > -1
         idx0 = np.nonzero(valid)[0]
         idx1 = m0[valid]
-        return self.kps_prev[idx0[idx0 < n0]], kps[idx1[idx0 < n0]]
+        return kps_prev[idx0[idx0 < n0]], kps[idx1[idx0 < n0]]
 
     def process_image(self, img01: np.ndarray, absolute_scale: float = 1.0,
                       prefetched=None):

@@ -538,7 +538,10 @@ def evaluate_model(model, cfg, state, dataset_val, size, args, train_flags,
                     os.path.dirname(os.path.abspath(__file__)), "scripts"))
                 from make_synthetic_kitti import make_sequence
 
-                kitti = "fixtures/kitti_synth"
+                # repo-anchored, not CWD-relative (ADVICE r3)
+                kitti = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "fixtures", "kitti_synth")
                 if not os.path.exists(os.path.join(kitti, "06.txt")):
                     make_sequence(kitti, 12)
             except Exception as e:
