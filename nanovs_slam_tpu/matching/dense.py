@@ -199,7 +199,8 @@ class DenseMatcher:
         return self._match(f0, f1)
 
     def __call__(self, img0: np.ndarray, img1: np.ndarray,
-                 conf_threshold: float = 0.05) -> Dict[str, np.ndarray]:
+                 conf_threshold: float = 0.05,
+                 rel_threshold: float = 0.0) -> Dict[str, np.ndarray]:
         """LoFTR-surface pair matching: returns the reference's output
         dict, filtered at conf_threshold (visual_odometry.py:305-309).
 
@@ -207,11 +208,18 @@ class DenseMatcher:
         over ~Hc*Wc coarse cells so the absolute confidence scale is far
         lower than pretrained LoFTR's; measured precision/recall curve in
         tools/matcher_benchmark.py --dense (precision plateaus ~0.85-0.88
-        from t=0.02 to t=0.1 on held-out homography pairs)."""
+        from t=0.02 to t=0.1 on held-out homography pairs).
+
+        rel_threshold > 0 switches to the PER-PAIR adaptive rule used by
+        the VO paths (vo/visual_odometry._match_dense): threshold =
+        rel_threshold * max(conf), which tracks each pair's own
+        dual-softmax scale instead of assuming one."""
         f0 = self.extract(img0)
         f1 = self.extract(img1)
         kp0, kp1, conf = self.match_maps(f0, f1)
         kp0, kp1, conf = np.asarray(kp0), np.asarray(kp1), np.asarray(conf)
-        keep = conf > conf_threshold
+        thr = rel_threshold * conf.max() if rel_threshold > 0 \
+            else conf_threshold
+        keep = conf > thr
         return {"keypoints0": kp0[keep], "keypoints1": kp1[keep],
                 "confidence": conf[keep]}

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
+
 import numpy as np
 
 K_RATIO_TEST = 0.7
@@ -194,3 +196,45 @@ def match_semantic(kps_prev, feat_prev, seg_prev, kps_cur, feat_cur,
     if not out0:
         return np.zeros((0, 2)), np.zeros((0, 2))
     return np.concatenate(out0), np.concatenate(out1)
+
+
+def bf_match_device(feat0, feat1, mask0=None, mask1=None,
+                    ratio_test: float = K_RATIO_TEST):
+    """Fixed-shape, fully in-graph BF matching (jittable) — the device
+    twin of ratio_test_match_one_to_one (reference
+    feature_matcher.py:179-209): k=2 L2 NN + Lowe ratio + one-to-one
+    train dedup keeping the best distance (ties -> lowest query index,
+    matching the host path's first-seen-wins iteration order).
+
+    feat0 (K0, C) query, feat1 (K1, C) train, optional boolean validity
+    masks for padded slots. Returns (train_idx (K0,) int32,
+    valid (K0,) bool): query q matches train train_idx[q] iff valid[q].
+    Built for the offline sequence VO's lax.map pair program
+    (vo/offline.py), where dynamic shapes are unavailable.
+    """
+    import jax.numpy as jnp
+
+    K0, K1 = feat0.shape[0], feat1.shape[0]
+    aa = jnp.sum(feat0 * feat0, 1)[:, None]
+    bb = jnp.sum(feat1 * feat1, 1)[None, :]
+    d2 = jnp.maximum(aa + bb - 2.0 * feat0 @ feat1.T, 0.0)
+    if mask1 is not None:
+        d2 = jnp.where(mask1[None, :], d2, jnp.inf)
+    # top-2 smallest
+    neg2, idx2 = jax.lax.top_k(-d2, 2)
+    d_pair = jnp.sqrt(jnp.maximum(-neg2, 0.0))
+    t = idx2[:, 0]
+    d0, d1 = d_pair[:, 0], d_pair[:, 1]
+    keep = (d0 <= ratio_test * d1) & jnp.isfinite(d0)
+    if mask0 is not None:
+        keep = keep & mask0
+    # one-to-one: per train index, the kept query with the smallest
+    # distance wins; exact ties resolved to the smallest query index
+    q_idx = jnp.arange(K0)
+    d_for_min = jnp.where(keep, d0, jnp.inf)
+    seg_min = jnp.full((K1,), jnp.inf, d0.dtype).at[t].min(d_for_min)
+    cand = keep & (d0 == seg_min[t])
+    q_for_min = jnp.where(cand, q_idx, K0)
+    seg_min_q = jnp.full((K1,), K0, q_idx.dtype).at[t].min(q_for_min)
+    valid = cand & (q_idx == seg_min_q[t])
+    return t.astype(jnp.int32), valid

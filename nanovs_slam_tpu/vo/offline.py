@@ -36,7 +36,8 @@ from .pose import (assemble_vo_error_stats, calculate_error_stats,
 
 
 class OfflineVO:
-    """Sequence-level VO on the dense (detector-free) matcher.
+    """Sequence-level VO on the dense (detector-free), BF, or LightGlue
+    matcher.
 
     model/cfg/variables: a KP2DTiny-family model (same contract as
     DenseMatcher). size: (H, W) inference size. cam: host PinholeCamera
@@ -45,16 +46,32 @@ class OfflineVO:
     visual_odometry.py:310). n_matches: the dense top-N pose budget
     (`VisualOdometry.DENSE_MIN_MATCHES` semantics, same measured
     default); dense_conf: absolute-threshold branch of the same policy.
+
+    matcher: "dense" (default) extracts per-frame dense feature maps;
+    "bf" / "lightglue" extract fixed-k sparse keypoints (the online
+    frontend's top-k contract) and match in-graph — BF via
+    `vo/matcher.bf_match_device` (device twin of the reference ratio +
+    one-to-one matcher), LightGlue via the fixed-shape masked forward
+    (same programs the online `--matcher lightglue` loop jits). For
+    "lightglue" pass `lightglue=(model, params)` — a trained matcher,
+    e.g. the first two elements of `load_lightglue_for_vo(...)`.
     """
 
     def __init__(self, model, cfg, variables, size: Tuple[int, int], cam,
                  k: int = 512, n_matches: int = 400,
                  dense_conf: float = 0.05, n_hypotheses: int = 2048,
-                 extract_chunk: int = 16):
+                 extract_chunk: int = 16, matcher: str = "dense",
+                 lightglue=None, ratio_test: float = 0.7,
+                 dense_rel_conf: float = 0.2):
         import jax
         import jax.numpy as jnp
 
-        self.dm = DenseMatcher(model, cfg, variables, size, k=k)
+        if matcher not in ("dense", "bf", "lightglue"):
+            raise ValueError(f"unsupported offline matcher: {matcher!r}")
+        if matcher == "lightglue" and lightglue is None:
+            raise ValueError("matcher='lightglue' needs lightglue="
+                             "(model, params)")
+        self.matcher = matcher
         self.variables = variables
         self.H, self.W = size
         self.cam = cam
@@ -62,51 +79,114 @@ class OfflineVO:
         H, W = size
         sx, sy = cam.width / W, cam.height / H
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
-        dm, n_conf_needed = self.dm, n_matches
+        n_conf_needed = n_matches
         conf_thr = dense_conf
 
-        @jax.jit
-        def extract_batch(variables, imgs):
-            """(B, H, W, 3) in [-1, 1] -> (B, Hf, Wf, C) fine maps."""
-            out = model.apply(variables, imgs, False, False, ("desc",))
-            return _l2n(out["feat"])
+        def unproject(kp):
+            scale = jnp.array([sx, sy], kp.dtype)
+            return (kp * scale - jnp.array([cx, cy])) \
+                / jnp.array([fx, fy])
 
-        def pair_step(f0, f1, i, key):
-            """One pair: dense match -> unproject -> device RANSAC.
-            `i` is the GLOBAL pair index (keys the RANSAC sampler), so
-            sharded and unsharded runs draw identical hypothesis
-            streams."""
-            kp0, kp1, conf = dm._match(f0, f1)
-            rank = jnp.arange(conf.shape[0])
-            # dense match policy (visual_odometry.py dense_conf +
-            # DENSE_MIN_MATCHES fallback), branch-free: top_k sorts
-            # conf descending so rank < N is the top-N mask
-            n_over = (conf > conf_thr).sum()
-            keep = jnp.where(n_over >= n_conf_needed,
-                             conf > conf_thr,
-                             (rank < n_conf_needed) & (conf > 0.0))
-            scale = jnp.array([sx, sy], kp0.dtype)
-            kpn0 = (kp0 * scale - jnp.array([cx, cy])) \
-                / jnp.array([fx, fy])
-            kpn1 = (kp1 * scale - jnp.array([cx, cy])) \
-                / jnp.array([fx, fy])
-            R, t, inl = ransac_essential_device(
-                kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
-                n_hypotheses=n_hypotheses)
-            return R, t[:, 0], inl.sum(), keep.sum()
+        if matcher == "dense":
+            self.dm = DenseMatcher(model, cfg, variables, size, k=k)
+            dm = self.dm
+
+            @jax.jit
+            def extract_batch(variables, imgs):
+                """(B, H, W, 3) in [-1, 1] -> (B, Hf, Wf, C) fine maps."""
+                out = model.apply(variables, imgs, False, False, ("desc",))
+                return _l2n(out["feat"])
+
+            rel_conf = dense_rel_conf
+
+            def pair_step(f0, f1, i, key):
+                """One pair: dense match -> unproject -> device RANSAC.
+                `i` is the GLOBAL pair index (keys the RANSAC sampler),
+                so sharded and unsharded runs draw identical hypothesis
+                streams."""
+                kp0, kp1, conf = dm._match(f0, f1)
+                rank = jnp.arange(conf.shape[0])
+                # dense match policy (same as the online loop's
+                # _match_dense): adaptive per-pair threshold
+                # rel * max(conf) when rel_conf > 0 (absolute conf_thr
+                # otherwise), topped up to the n_matches pose budget by
+                # rank. Branch-free: top_k sorts conf descending, so the
+                # confident set is exactly rank < n_over and the top-up
+                # union is rank < max(n_over, n_matches).
+                thr = jnp.where(rel_conf > 0, rel_conf * conf.max(),
+                                conf_thr)
+                n_over = (conf > thr).sum()
+                keep = (rank < jnp.maximum(n_over, n_conf_needed)) \
+                    & (conf > 0.0)
+                kpn0, kpn1 = unproject(kp0), unproject(kp1)
+                R, t, inl = ransac_essential_device(
+                    kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
+                    n_hypotheses=n_hypotheses)
+                return R, t[:, 0], inl.sum(), keep.sum()
+        else:
+            from ..matching.extractor import make_extractor
+            from .matcher import bf_match_device
+
+            sparse_extract = make_extractor(model, cfg, H, W,
+                                            max_keypoints=k)
+
+            def extract_batch(variables, imgs):
+                """(B, H, W, 3) in [-1, 1] -> (kp (B,k,2), desc (B,k,C),
+                mask (B,k)) — the online frontend's fixed-top-k
+                contract."""
+                e = sparse_extract(variables, imgs)
+                return (e["keypoints"], e["descriptors"], e["mask"])
+
+            if matcher == "lightglue":
+                from ..matching.lightglue import normalize_keypoints
+                lg_model, lg_params = lightglue[0], lightglue[1]
+
+            def pair_step(e0, e1, i, key):
+                kp0, d0, m0 = e0
+                kp1, d1, m1 = e1
+                if matcher == "bf":
+                    t_idx, valid = bf_match_device(d0, d1, m0, m1,
+                                                   ratio_test)
+                else:
+                    # the online loop matches keypoints rescaled to the
+                    # ORIGINAL frame (reference visual_odometry.py:
+                    # 119-121), so normalization uses the camera size
+                    scale = jnp.array([sx, sy], kp0.dtype)
+                    size = (cam.width, cam.height)
+                    data = {
+                        "keypoints0": normalize_keypoints(
+                            (kp0 * scale)[None], size),
+                        "keypoints1": normalize_keypoints(
+                            (kp1 * scale)[None], size),
+                        "descriptors0": d0[None], "descriptors1": d1[None],
+                        "mask0": m0[None], "mask1": m1[None]}
+                    pred = lg_model.apply({"params": lg_params}, data)
+                    mtc = pred["matches0"][0]
+                    valid = mtc >= 0
+                    t_idx = jnp.maximum(mtc, 0)
+                kp1m = jnp.take(kp1, t_idx, axis=0)
+                kpn0, kpn1 = unproject(kp0), unproject(kp1m)
+                R, t, inl = ransac_essential_device(
+                    kpn0, kpn1, jax.random.fold_in(key, i), valid=valid,
+                    n_hypotheses=n_hypotheses)
+                return R, t[:, 0], inl.sum(), valid.sum()
 
         @jax.jit
         def pair_poses(fmaps, key):
-            """(T, Hf, Wf, C) -> per-pair (R, t, n_inliers, n_matches).
+            """Frame representations (leading axis T; a (T, Hf, Wf, C)
+            array for dense, a (kp, desc, mask) pytree for sparse) ->
+            per-pair (R, t, n_inliers, n_matches).
 
             lax.map keeps peak memory at ONE pair's (N, N) coarse
             affinity while still compiling the whole sequence into a
             single program."""
 
             def step(i):
-                return pair_step(fmaps[i], fmaps[i + 1], i, key)
+                r0 = jax.tree.map(lambda a: a[i], fmaps)
+                r1 = jax.tree.map(lambda a: a[i + 1], fmaps)
+                return pair_step(r0, r1, i, key)
 
-            T = fmaps.shape[0]
+            T = jax.tree.leaves(fmaps)[0].shape[0]
             return jax.lax.map(step, jnp.arange(T - 1))
 
         self._extract_batch = extract_batch
@@ -137,6 +217,8 @@ class OfflineVO:
                 lambda args: pair_step(args[0], args[1], args[2], key),
                 (f0s, f1s, idxs))
 
+        # P(axis) is a prefix spec: it applies to every leaf of the
+        # (possibly pytree-valued) frame representations
         fn = shard_map(local, mesh=mesh,
                        in_specs=(P(axis), P(axis), P(axis), P()),
                        out_specs=P(axis))
@@ -157,23 +239,28 @@ class OfflineVO:
         if mesh not in self._pair_poses_sharded:
             self._pair_poses_sharded[mesh] = self._build_sharded(mesh)
         fmaps = self.extract(frames01)
-        f0s, f1s = fmaps[:-1], fmaps[1:]
-        n_pairs = f0s.shape[0]
+        f0s = jax.tree.map(lambda a: a[:-1], fmaps)
+        f1s = jax.tree.map(lambda a: a[1:], fmaps)
+        n_pairs = jax.tree.leaves(f0s)[0].shape[0]
         idxs = jnp.arange(n_pairs)
         pad = (-n_pairs) % n_dev
         if pad:
-            f0s = jnp.concatenate([f0s, jnp.repeat(f0s[-1:], pad, 0)])
-            f1s = jnp.concatenate([f1s, jnp.repeat(f1s[-1:], pad, 0)])
-            idxs = jnp.concatenate([idxs,
-                                    jnp.repeat(idxs[-1:], pad, 0)])
+            def _pad(a):
+                return jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)])
+
+            f0s = jax.tree.map(_pad, f0s)
+            f1s = jax.tree.map(_pad, f1s)
+            idxs = _pad(idxs)
         R, t, ninl, nmat = self._pair_poses_sharded[mesh](
             f0s, f1s, idxs, jax.random.PRNGKey(seed))
         return (np.asarray(R)[:n_pairs], np.asarray(t)[:n_pairs],
                 np.asarray(ninl)[:n_pairs], np.asarray(nmat)[:n_pairs])
 
     def extract(self, frames01: np.ndarray):
-        """(T, H, W, 3) float [0, 1] -> device fine maps, chunked so the
-        first compile covers one fixed batch shape."""
+        """(T, H, W, 3) float [0, 1] -> device frame representations
+        (dense fine maps, or (kp, desc, mask) for sparse matchers),
+        chunked so the first compile covers one fixed batch shape."""
+        import jax
         import jax.numpy as jnp
 
         x = (jnp.asarray(frames01, jnp.float32) - 0.5) * 2.0
@@ -183,7 +270,9 @@ class OfflineVO:
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)])
         maps = [self._extract_batch(self.variables, x[i:i + c])
                 for i in range(0, len(x), c)]
-        return jnp.concatenate(maps)[:len(frames01)]
+        T = len(frames01)
+        return jax.tree.map(lambda *chunks: jnp.concatenate(chunks)[:T],
+                            *maps)
 
     def relative_poses(self, frames01: np.ndarray, seed: int = 0):
         """(T, H, W, 3) float [0, 1] -> (R (T-1,3,3), t (T-1,3),
@@ -203,10 +292,17 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
                                      cam=None,
                                      max_frames: Optional[int] = None,
                                      n_matches: int = 400,
-                                     verbose: bool = False) -> Dict:
+                                     verbose: bool = False,
+                                     matcher: str = "dense",
+                                     lightglue=None,
+                                     k: int = 512,
+                                     dense_rel_conf: float = 0.2) -> Dict:
     """Sequence-level counterpart of `evaluate_visual_odometry` (same
     error math, reference evaluation/visual_odometry.py:165-176,318-332):
-    decode all frames, run OfflineVO, integrate with GT scale."""
+    decode all frames, run OfflineVO, integrate with GT scale.
+
+    matcher/lightglue/k: forwarded to OfflineVO (dense | bf | lightglue;
+    lightglue = (model, params) from e.g. load_lightglue_for_vo)."""
     import cv2
 
     from .camera import PinholeCamera, kitti_params
@@ -233,7 +329,9 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
 
     stack = np.stack([prep_frame(f, (H, W)) for f in frames])
     vo = OfflineVO(model, cfg, variables, (H, W), cam,
-                   n_matches=n_matches)
+                   n_matches=n_matches, matcher=matcher,
+                   lightglue=lightglue, k=k,
+                   dense_rel_conf=dense_rel_conf)
     R, t, ninl, nmat = vo.relative_poses(stack)
 
     t_errs, r_errs = [], []

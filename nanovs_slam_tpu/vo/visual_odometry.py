@@ -72,6 +72,7 @@ class VisualOdometry:
                  top_k_matches: int = 1000, ratio_test: float = 0.7,
                  n_classes: int = 28, dense_conf: float = 0.05,
                  dense_min_matches: Optional[int] = None,
+                 dense_rel_conf: float = 0.2,
                  device_pose: bool = False):
         # dense_conf default: dual-softmax confidence mass spreads over
         # ~1200 coarse cells, so its absolute scale is far below the
@@ -111,6 +112,18 @@ class VisualOdometry:
         self.lightglue = lightglue
         self.dense = dense  # DenseMatcher or None
         self.dense_conf = dense_conf
+        # dense_rel_conf > 0 switches the dense filter to a PER-PAIR
+        # adaptive threshold, rel * max(conf): a fixed absolute cut over
+        # an (N-cell) dual-softmax is scale-wrong by construction (the
+        # mass spreads with cell count and texture; on the corridor
+        # fixture NO cell ever clears 0.05, so the absolute path was
+        # dead and every match came from the top-N fallback). The
+        # relative rule tracks each pair's own confidence scale, so the
+        # confident path fires on every frame; the min-matches rank
+        # TOP-UP (not replacement) below still guarantees pose is never
+        # starved. Set dense_rel_conf=0 to restore the legacy absolute
+        # threshold.
+        self.dense_rel_conf = dense_rel_conf
         if dense_min_matches is not None:
             self.DENSE_MIN_MATCHES = dense_min_matches  # instance override
         # device_pose=True replaces the host cv2 USAC_MSAC tail with the
@@ -183,15 +196,20 @@ class VisualOdometry:
         self.stats.network_inference_timing.append(time.perf_counter() - t0)
         kp0, kp1, conf = self.dense.match_maps(self.fmap_prev, fmap)
         kp0, kp1, conf = np.asarray(kp0), np.asarray(kp1), np.asarray(conf)
-        keep = conf > self.dense_conf
+        if self.dense_rel_conf > 0:
+            # adaptive per-pair threshold (see __init__); the argmax
+            # cell always clears rel * max, so the confident path
+            # produces >= 1 match on every frame
+            thr = self.dense_rel_conf * conf.max()
+        else:
+            thr = self.dense_conf
+        keep = conf > thr
         if keep.sum() < self.DENSE_MIN_MATCHES:
-            # dual-softmax confidence is calibrated by training (the
-            # reference's 0.7 LoFTR filter assumes its pretrained weights);
-            # fall back to top-N ranking so pose estimation is never
-            # starved by a miscalibrated absolute threshold (same policy
-            # as the trainer's keypoint-eval threshold fallback)
-            # but never admit conf==0 pairs: coarse_match zeroes exactly
-            # the pairs that FAILED the mutual-NN check, so they are
+            # rank TOP-UP to the minimum pose budget (a superset of the
+            # confident set — dual-softmax confidence is calibrated by
+            # training, so a threshold alone can starve the pose tail);
+            # never admit conf==0 pairs: coarse_match zeroes exactly the
+            # pairs that FAILED the mutual-NN check, so they are
             # known-wrong correspondences, not merely low-confidence ones
             keep = np.argsort(-conf)[:self.DENSE_MIN_MATCHES]
             keep = keep[conf[keep] > 0.0]
@@ -409,7 +427,8 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              verbose: bool = False,
                              matcher: str = "bf", dense=None,
                              lightglue=None,
-                             device_pose: bool = False) -> Dict:
+                             device_pose: bool = False,
+                             dense_rel_conf: float = 0.2) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT. lightglue: either the
     (model, params, size, max_n) tuple or a checkpoint path string
@@ -474,7 +493,8 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
     vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
                         dense=ScaledDense(dense) if dense is not None
                         else None, lightglue=lightglue,
-                        device_pose=device_pose)
+                        device_pose=device_pose,
+                        dense_rel_conf=dense_rel_conf)
     vo.init(prep(frame))
 
     # pipelined frame loop: frame t+1's extraction is DISPATCHED before

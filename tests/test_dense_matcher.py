@@ -120,8 +120,10 @@ def test_vo_dense_fallback_budget(matcher):
 
     cam = PinholeCamera(W, H, 120.0, 120.0, W / 2, H / 2)
     assert VisualOdometry.DENSE_MIN_MATCHES == 400
+    # legacy absolute path (dense_rel_conf=0): nothing clears 2.0 ->
+    # top-N fallback capped at the instance budget
     vo = VisualOdometry(None, cam, matcher="dense", dense=matcher,
-                        dense_conf=2.0,  # nothing clears it -> fallback
+                        dense_conf=2.0, dense_rel_conf=0.0,
                         dense_min_matches=40)
     assert vo.DENSE_MIN_MATCHES == 40
     assert VisualOdometry.DENSE_MIN_MATCHES == 400  # class untouched
@@ -131,6 +133,15 @@ def test_vo_dense_fallback_budget(matcher):
     n = vo.stats.n_matches[0]
     assert 0 < n <= 40  # budget respected, conf==0 pairs never admitted
 
+    # adaptive path (default): the confident set may EXCEED the floor —
+    # it did here (58 > 40 at rel=0.2 on this texture) — and is never
+    # empty because the argmax cell always clears rel * max
+    vo2 = VisualOdometry(None, cam, matcher="dense", dense=matcher,
+                         dense_min_matches=40)
+    vo2.init(tex[16:16 + H, 16:16 + W])
+    vo2.process_image(tex[16:16 + H, 12:12 + W], absolute_scale=1.0)
+    assert vo2.stats.n_matches[0] >= 40
+
 
 def test_dense_requires_matcher_instance():
     from nanovs_slam_tpu.vo.camera import PinholeCamera
@@ -138,3 +149,40 @@ def test_dense_requires_matcher_instance():
     cam = PinholeCamera(W, H, 120.0, 120.0, W / 2, H / 2)
     with pytest.raises(ValueError):
         VisualOdometry(None, cam, matcher="dense")
+
+
+def test_adaptive_confidence_policy_online_offline_equal():
+    """The adaptive per-pair dense filter (VERDICT r3 #6): the online
+    numpy policy (_match_dense) and the offline branch-free jnp policy
+    (vo/offline.py pair_step) must select the SAME match set, and the
+    confident path must produce >= 1 match for any nonzero conf."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rel, n_min = 0.2, 8
+    rs = np.random.RandomState(0)
+    for trial in range(5):
+        # sorted-descending conf with a zero tail (top_k output shape)
+        n_pos = rs.randint(3, 30)
+        conf = np.sort(rs.rand(32))[::-1].astype(np.float32)
+        conf[n_pos:] = 0.0
+
+        # online policy (visual_odometry._match_dense)
+        thr = rel * conf.max()
+        keep = conf > thr
+        if keep.sum() < n_min:
+            keep_idx = np.argsort(-conf)[:n_min]
+            keep_idx = keep_idx[conf[keep_idx] > 0.0]
+        else:
+            keep_idx = np.nonzero(keep)[0]
+        online = set(keep_idx.tolist())
+        assert (conf[list(online)] > thr).sum() >= 1  # confident fires
+
+        # offline branch-free policy (conf is top_k-sorted descending)
+        c = jnp.asarray(conf)
+        rank = jnp.arange(c.shape[0])
+        t = jnp.where(rel > 0, rel * c.max(), 0.05)
+        n_over = (c > t).sum()
+        mask = (rank < jnp.maximum(n_over, n_min)) & (c > 0.0)
+        offline = set(np.nonzero(np.asarray(mask))[0].tolist())
+        assert online == offline, (trial, sorted(online), sorted(offline))

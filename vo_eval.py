@@ -42,6 +42,10 @@ def parse_args():
                         "batched extraction + one lax.map program over "
                         "pairs (dense matching + device RANSAC); no "
                         "per-frame host round-trips")
+    p.add_argument("--dense_rel_conf", type=float, default=0.2,
+                   help="dense matcher: adaptive per-pair confidence "
+                        "threshold rel*max(conf); 0 = legacy absolute "
+                        "0.05 threshold")
     p.add_argument("--device_pose", action="store_true",
                    help="replace the host cv2 USAC_MSAC pose tail with "
                         "the on-device batched RANSAC "
@@ -84,21 +88,42 @@ def main():
         from nanovs_slam_tpu.vo.offline import \
             evaluate_visual_odometry_offline
 
+        offline_matchers = ("dense", "bf", "lightglue")
         ignored = []
-        if args.matcher != "dense":
-            ignored.append(f"--matcher {args.matcher} (offline VO is the "
-                           "dense detector-free pipeline)")
+        if args.matcher not in offline_matchers:
+            ignored.append(f"--matcher {args.matcher} (offline VO "
+                           f"supports {'/'.join(offline_matchers)}; "
+                           "falling back to dense)")
         for flag, default in (("device_pose", False),
-                              ("semantic_filter", False),
-                              ("lg_ckpt", None)):
+                              ("semantic_filter", False)):
             if getattr(args, flag) != default:
                 ignored.append(f"--{flag}")
+        if args.lg_ckpt and args.matcher != "lightglue":
+            ignored.append("--lg_ckpt")
         if ignored:
             print("WARNING: --offline ignores: " + ", ".join(ignored))
+        matcher = args.matcher if args.matcher in offline_matchers \
+            else "dense"
+        lightglue = None
+        if matcher == "lightglue":
+            import cv2
+
+            from nanovs_slam_tpu.vo.visual_odometry import \
+                load_lightglue_for_vo
+
+            cap = cv2.VideoCapture(f"{args.kitti_path}/{args.video_name}")
+            fw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            fh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            cap.release()
+            lightglue = load_lightglue_for_vo(
+                args.lg_ckpt, cfg.nfeatures, (fw, fh))[:2]
         results = evaluate_visual_odometry_offline(
             model, cfg, {"params": params, "batch_stats": batch_stats},
             args.kitti_path, args.gt_name, args.video_name, (H, W),
-            max_frames=args.max_frames, verbose=True)
+            max_frames=args.max_frames, verbose=True,
+            matcher=matcher, lightglue=lightglue,
+            k=min(args.top_k, 1024) if matcher != "dense" else 512,
+            dense_rel_conf=args.dense_rel_conf)
         print(json.dumps(results, indent=2, default=str))
         with open(args.out, "w") as f:
             json.dump({"args": vars(args), "results": results}, f,
@@ -130,7 +155,7 @@ def main():
         new_size=(H, W), max_frames=args.max_frames, verbose=True,
         matcher=args.matcher, dense=dense,
         lightglue=args.lg_ckpt if args.matcher == "lightglue" else None,
-        device_pose=args.device_pose)
+        device_pose=args.device_pose, dense_rel_conf=args.dense_rel_conf)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
