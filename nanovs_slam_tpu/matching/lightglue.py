@@ -47,6 +47,10 @@ class LightGlueConfig:
     add_scale_ori: bool = False
     filter_threshold: float = 0.0
     depth_confidence: float = -1.0  # >0 enables early exit at inference
+    # >0 enables adaptive width pruning at inference (reference
+    # :564-594); consumed by matching/width_pruning.width_pruned_forward
+    # (static bucket compaction), not by the plain __call__
+    width_confidence: float = -1.0
     nll_balancing: float = 0.5
     loss_gamma: float = 1.0
     dtype: Any = jnp.float32

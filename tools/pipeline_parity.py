@@ -129,7 +129,7 @@ def build_weight_pair(ckpt=None, score_bias=0.0, seed=0):
 
 # ---------------------------------------------------------------- keypoints
 
-def ref_keypoint_eval(tmodel, items, top_k):
+def ref_keypoint_eval(tmodel, items, top_k, cv2_seed=0):
     import cv2
     import torch
 
@@ -148,7 +148,7 @@ def ref_keypoint_eval(tmodel, items, top_k):
                     np.asarray(it["homography"]))[None].float(),
             }
 
-    cv2.setRNGSeed(0)
+    cv2.setRNGSeed(cv2_seed)
     rep, loc, c1, c3, c5, ms, auc = ref_kp.evaluate_keypoint_net(
         loader(), tmodel, output_shape=(EVAL_W, EVAL_H), top_k=top_k)
     return {"repeatability": float(rep), "localization_error": float(loc),
@@ -157,7 +157,7 @@ def ref_keypoint_eval(tmodel, items, top_k):
             "homography_auc": {str(k): float(v) for k, v in auc.items()}}
 
 
-def our_keypoint_eval(variables, cfg, items, top_k):
+def our_keypoint_eval(variables, cfg, items, top_k, cv2_seed=0):
     import cv2
 
     from nanovs_slam_tpu.evaluation.keypoints import evaluate_keypoint_net
@@ -172,7 +172,7 @@ def our_keypoint_eval(variables, cfg, items, top_k):
         out = infer(variables, images)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    cv2.setRNGSeed(0)
+    cv2.setRNGSeed(cv2_seed)
     r = evaluate_keypoint_net(items, infer_np, output_shape=(EVAL_W, EVAL_H),
                               top_k=top_k)
     r["homography_auc"] = {str(k): float(v)
@@ -200,9 +200,32 @@ def run_keypoints(args):
     deltas = {k: abs(ours[k] - ref[k]) for k in ref
               if not isinstance(ref[k], dict)}
     print("abs deltas:", deltas)
-    return {"reference": ref, "ours": ours, "deltas": deltas,
-            "top_k": args.top_k, "n_pairs": len(items),
-            "ckpt": args.ckpt, "score_bias": args.score_bias}
+    out = {"reference": ref, "ours": ours, "deltas": deltas,
+           "top_k": args.top_k, "n_pairs": len(items),
+           "ckpt": args.ckpt, "score_bias": args.score_bias}
+
+    if args.seed_sweep > 1:
+        # VERDICT r3 #8: pin the correctness@1 delta — cv2.findHomography
+        # (cv2.RANSAC) is the only stochastic stage of this metric tail;
+        # sweeping cv2.setRNGSeed over BOTH stacks shows whether the
+        # @1 gap is RANSAC draw sensitivity (distributions overlap) or a
+        # real stack difference (they separate).
+        sweep = {"ours": [], "reference": []}
+        for seed in range(args.seed_sweep):
+            o = our_keypoint_eval(variables, cfg, items, args.top_k,
+                                  cv2_seed=seed)
+            r = ref_keypoint_eval(tmodel, items, args.top_k,
+                                  cv2_seed=seed)
+            sweep["ours"].append(o["correctness1"])
+            sweep["reference"].append(r["correctness1"])
+            print(f"seed {seed}: ours@1={o['correctness1']:.4f} "
+                  f"ref@1={r['correctness1']:.4f}")
+        for k, v in sweep.items():
+            a = np.asarray(v)
+            print(f"{k}@1: min={a.min():.4f} mean={a.mean():.4f} "
+                  f"max={a.max():.4f}")
+        out["seed_sweep_correctness1"] = sweep
+    return out
 
 
 # ----------------------------------------------------------------------- vo
@@ -310,6 +333,10 @@ def main():
     ap.add_argument("--max-items", type=int, default=0)
     ap.add_argument("--hpatches", default=None)
     ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--seed-sweep", type=int, default=0,
+                    help="repeat the keypoint eval over N cv2 RNG seeds "
+                         "on BOTH stacks and report the correctness@1 "
+                         "distributions")
     ap.add_argument("--size", type=int, nargs=2, default=(184, 616),
                     help="VO inference H W (must be cell-divisible)")
     args = ap.parse_args()

@@ -76,11 +76,15 @@ def build_cache(im_h=128, im_w=512, max_frames=30):
     for i in range(len(frames) - 1):
         kps0, kps1 = match_keypoints(feats[i][0], feats[i][1],
                                      feats[i + 1][0], feats[i + 1][1])
-        kpn0 = cam.unproject(kps0)
-        kpn1 = cam.unproject(kps1)
-        # GT relative pose for frame i+1 (calculate_relative_error
-        # convention: gt pose index i+1)
-        R_gt, t_gt = gt.get_relative_pose(i + 1)
+        kpn0 = cam.unproject_points(cam.undistort_points(kps0))
+        kpn1 = cam.unproject_points(cam.undistort_points(kps1))
+        # GT relative pose in frame-i camera coordinates
+        # (calculate_relative_error composition: est_R = R_last @ R,
+        # est_t = t_last + s * R_last @ t)
+        t_last, R_last = gt.extract_pose_values(i)
+        t_curr, R_curr = gt.extract_pose_values(i + 1)
+        R_gt = R_last.T @ R_curr
+        t_gt = R_last.T @ (t_curr - t_last).reshape(3, 1)
         pairs.append((kpn0, kpn1, R_gt, t_gt))
 
     n_max = max(len(p[0]) for p in pairs)
@@ -125,8 +129,20 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    from nanovs_slam_tpu.vo.pose import (estimate_pose,
-                                         ransac_essential_device)
+    import cv2
+
+    from nanovs_slam_tpu.vo.pose import ransac_essential_device
+
+    def cv2_tail(kpn0, kpn1):
+        """The host pose tail on NORMALIZED points (estimate_pose's
+        cv2 calls after unprojection, vo/pose.py:28-33)."""
+        method = getattr(cv2, "USAC_MSAC", cv2.RANSAC)
+        E, _ = cv2.findEssentialMat(kpn1, kpn0, focal=1, pp=(0.0, 0.0),
+                                    method=method, prob=0.999,
+                                    threshold=0.0003)
+        _, R, t, _ = cv2.recoverPose(E, kpn1, kpn0, focal=1,
+                                     pp=(0.0, 0.0))
+        return R, t
 
     d = np.load(CACHE)
     K0, K1, V, Rg, Tg = (d["kpn0"], d["kpn1"], d["valid"], d["R_gt"],
@@ -136,7 +152,7 @@ def main():
         kpn0 = K0[i][V[i]]
         kpn1 = K1[i][V[i]]
         if not args.skip_cv2:
-            R, t, _ = estimate_pose(kpn0, kpn1)
+            R, t = cv2_tail(kpn0, kpn1)
             rows["cv2"].append((t_dir_err_deg(t, Tg[i]),
                                 r_err_deg(R, Rg[i])))
         R, t, inl = ransac_essential_device(

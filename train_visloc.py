@@ -43,6 +43,17 @@ def parse_args():
     p.add_argument("--cluster_images", type=int, default=500)
     p.add_argument("--max_queries", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pittsburgh_path", default=None,
+                   help="dataset root override (else datasets.json)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="fall back to the seeded Pittsburgh-format "
+                        "fixture when no real dataset is configured")
+    p.add_argument("--eval_recall", action="store_true",
+                   help="report Recall@1/5 from each epoch's descriptor "
+                        "cache (init + per epoch) and save the curve to "
+                        "--recall_out")
+    p.add_argument("--recall_out", default=None,
+                   help="JSON artifact path for the recall curve")
     return p.parse_args()
 
 
@@ -109,11 +120,21 @@ def main():
             params, batch_stats, _ = load_torch_checkpoint(args.model_path)
 
     paths = load_datasets_json(args.dataset_config)
-    root = paths.get("pittsburgh_data_path")
+    root = args.pittsburgh_path or paths.get("pittsburgh_data_path")
     train_struct = os.path.join(root or "", "datasets", "pitts30k_train.mat")
     if not (root and os.path.exists(train_struct)):
-        print("pittsburgh_data_path missing — nothing to train on")
-        return 1
+        if not args.synthetic:
+            print("pittsburgh_data_path missing — nothing to train on "
+                  "(pass --synthetic for the seeded fixture)")
+            return 1
+        # seeded Pittsburgh-format fixture (same policy as the multitask
+        # trainer's synthetic-KITTI / synthetic-HPatches fallbacks)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from make_synthetic_pittsburgh import ensure_synthetic_pittsburgh
+
+        root = ensure_synthetic_pittsburgh()
+        train_struct = os.path.join(root, "datasets", "pitts30k_train.mat")
 
     whole = WholeDataset(train_struct, root, (H, W))
     miner = TripletMiningDataset(train_struct, root, (H, W),
@@ -163,13 +184,38 @@ def main():
     infer_vlad = jax.jit(lambda p, x: vlad_forward(p, x))
     opt_state = tx.init(params)
 
-    for epoch in range(args.n_epochs):
-        # cache phase: full-set descriptors (train_visloc.py:199-227)
+    def build_cache(p):
         feats = []
         for i in range(len(whole)):
             feats.append(np.asarray(
-                infer_vlad(params, jnp.asarray(whole[i][None])))[0])
-        miner.cache = np.stack(feats)
+                infer_vlad(p, jnp.asarray(whole[i][None])))[0])
+        return np.stack(feats)
+
+    recall_curve = []
+
+    def eval_recall(cache, tag):
+        """Recall@1/5 straight from the epoch's descriptor cache (the
+        db block vs the query block — zero extra forwards)."""
+        from nanovs_slam_tpu.evaluation.global_descriptor import \
+            evaluate_global_descriptor
+
+        n_db = whole.dbStruct.numDb
+        r = evaluate_global_descriptor(cache[:n_db], cache[n_db:],
+                                       whole.get_positives(),
+                                       n_values=(1, 5))
+        row = {"tag": tag,
+               "recall@1": r["Recall"][1], "recall@5": r["Recall"][5],
+               "auc@5": r["AUC"][5]}
+        recall_curve.append(row)
+        print(f"[recall] {tag}: R@1={row['recall@1']:.3f} "
+              f"R@5={row['recall@5']:.3f} AUC@5={row['auc@5']:.3f}")
+
+    for epoch in range(args.n_epochs):
+        # cache phase: full-set descriptors (train_visloc.py:199-227)
+        miner.cache = build_cache(params)
+        if args.eval_recall:
+            eval_recall(miner.cache,
+                        "init" if epoch == 0 else f"epoch{epoch - 1}")
 
         n_q = min(len(miner), args.max_queries or len(miner))
         total, used = 0.0, 0
@@ -188,6 +234,15 @@ def main():
         save_checkpoint(args.out_model_path,
                         {"params": params, "batch_stats": batch_stats},
                         config=vars(args), epoch=epoch + 1)
+    if args.eval_recall:
+        eval_recall(build_cache(params), "final")
+        if args.recall_out:
+            import json
+
+            with open(args.recall_out, "w") as f:
+                json.dump({"args": {k: v for k, v in vars(args).items()},
+                           "recall_curve": recall_curve}, f, indent=2)
+            print(f"recall curve -> {args.recall_out}")
     return 0
 
 
