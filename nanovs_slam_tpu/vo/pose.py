@@ -78,7 +78,8 @@ def assemble_vo_error_stats(t_errs, r_errs) -> Dict:
 def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
                             n_hypotheses: int = 2048,
                             threshold: float = 3e-4,
-                            lo_rounds: int = 2):
+                            lo_rounds: int = 2,
+                            pool: int = 4):
     """Device-resident robust essential-matrix pose: the TPU-native
     counterpart of the host tail `cv2.findEssentialMat(USAC_MSAC,
     threshold 3e-4) + cv2.recoverPose` (estimate_pose above; reference
@@ -202,7 +203,7 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     # other but polish to different basins — polishing only the single
     # argmin was the measured source of the t-direction tail gap vs
     # cv2's 5-point (14.9 vs 9.3 deg mean on corridor BF populations).
-    POOL = 4
+    POOL = max(1, pool)  # pool=1 degenerates to single-start polish
     negs, pidx = jax.lax.top_k(-msac, POOL)
     E_pool, s_pool = E_h[pidx], -negs
 
