@@ -343,16 +343,35 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         inl_c = (sampson(E_c) < t2) & v
         wres = inl_c.astype(dt)
         R0, t0 = decompose_vote(E_c, wres)
+        # phase 1: masked GN on the binary inlier set
         R_gn, t_gn = R0, t0
         for _ in range(5):
             R_gn, t_gn = gn_step(R_gn, t_gn, wres)
-        E_gn = skew(t_gn) @ R_gn
-        s_gn = msac_of(E_gn)
-        finite = (jnp.all(jnp.isfinite(R_gn)) & jnp.all(jnp.isfinite(t_gn))
-                  & jnp.isfinite(s_gn))
-        take = (s_gn < s_c) & finite
-        return (jnp.where(take, R_gn, R0), jnp.where(take, t_gn, t0),
-                jnp.where(take, s_gn, s_c))
+        # phase 2: IRLS with Cauchy weights over ALL valid points. The
+        # binary mask depends on which points the winning draw happens
+        # to place inside the threshold — the measured source of
+        # per-seed variance on hard low-parallax pairs. Soft weights
+        # w = 1/(1 + d^2/t^2) use near-inliers' information too, which
+        # barely moves easy pairs but stabilizes the hard ones.
+        R_ir, t_ir = R_gn, t_gn
+        for _ in range(5):
+            d2r = sampson(skew(t_ir) @ R_ir)
+            w_soft = vf / (1.0 + d2r / t2)
+            R_ir, t_ir = gn_step(R_ir, t_ir, w_soft)
+
+        def score_or_inf(R, t):
+            s = msac_of(skew(t) @ R)
+            ok = (jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+                  & jnp.isfinite(s))
+            return jnp.where(ok, s, jnp.inf)
+
+        # accept-if-better across {unpolished, masked GN, IRLS}
+        cand_R = jnp.stack([R0, R_gn, R_ir])
+        cand_t = jnp.stack([t0, t_gn, t_ir])
+        cand_s = jnp.stack([s_c, score_or_inf(R_gn, t_gn),
+                            score_or_inf(R_ir, t_ir)])
+        j = jnp.argmin(cand_s)
+        return cand_R[j], cand_t[j], cand_s[j]
 
     R_cs, t_cs, s_cs = jax.vmap(polish_candidate)(E_pool, s_pool)
     kb = jnp.argmin(s_cs)
