@@ -34,7 +34,11 @@ def make_extractor(model, cfg: KP2DTinyConfig, H: int, W: int,
 
     @jax.jit
     def extract(variables, images: Array) -> Dict[str, Array]:
-        out = model.apply(variables, images, False)
+        # only the keypoint heads: skips the seg/vlad compute the
+        # extractor never reads, and keeps it loadable with checkpoints
+        # whose seg head has a different class count
+        out = model.apply(variables, images, False, False,
+                          ("score", "loc", "desc"))
         post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
                             eval_mode=True)
         kp, score, desc, valid = top_k_keypoints(

@@ -38,7 +38,7 @@ def main():
 
     kitti = os.path.join(_REPO, "fixtures", "kitti_corridor_gray")
     H, W, frames = 128, 512, 30
-    cfg = get_config("S", n_classes=28)
+    cfg = get_config("S", n_classes=8)
     model = build_model(cfg)
     tree, _ = load_checkpoint(os.path.join(_REPO, "model_ckpt", "r3_long"))
     variables = {"params": tree["params"],

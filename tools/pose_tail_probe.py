@@ -45,7 +45,7 @@ def build_cache(im_h=128, im_w=512, max_frames=30):
     from nanovs_slam_tpu.vo.visual_odometry import prep_frame
 
     kitti = os.path.join(_REPO, "fixtures", "kitti_corridor_gray")
-    cfg = get_config("S", n_classes=28)
+    cfg = get_config("S", n_classes=8)
     model = build_model(cfg)
     tree, _ = load_checkpoint(os.path.join(_REPO, "model_ckpt", "r3_long"))
     variables = {"params": tree["params"],
