@@ -107,15 +107,21 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     simply score badly and lose the argmax — no data-dependent control
     flow, so the function jits and vmaps.
 
-    Measured vs cv2 RANSAC on corridor-fixture BF match populations
-    (29 pairs, GT poses): translation-direction error median 8.1 deg for
-    BOTH at H=2048 (cv2 mean 9.3, ours 10.9 — a few hard low-parallax
-    pairs keep a tail gap); inlier support equal (76.0 vs 77.8 through
-    the VO loop). Negative results, measured: x64 does NOT help (the gap
-    is not float precision), nor do Sampson-reweighted or
-    threshold-annealed refits (both lost support vs plain LO
-    resampling). In the full VO pipeline the all-device combination
-    (dense matcher + this estimator) reaches 0.0366 total error vs the
+    Measured vs cv2 USAC_MSAC on corridor-fixture BF match populations
+    (tools/pose_tail_probe.py, 29 pairs, GT poses; cv2 is deterministic
+    at t-dir mean/median 9.26/8.09 deg). Round-4 progression of this
+    solver on the same populations: baseline H=2048 single-start
+    14.95/9.52 -> H=8192 9.64/7.00 -> + multi-start pool polish +
+    Cauchy-IRLS phase 9.86 +- 0.9 mean / 7.70 median over 3 RANSAC key
+    seeds — the MEDIAN beats cv2; the 3-seed mean sits ~0.6 deg above
+    with the residual being key variance on 2-3 hard low-parallax
+    pairs, not a systematic bias. Inlier support 80-82 vs cv2-era 77.8.
+    Negative results, measured: x64 (not float precision),
+    Sampson-reweighted and threshold-annealed refits (lose support),
+    lo_rounds=3/4 (no mean gain, more seed spread), multi-start alone
+    at H=2048 (14.95 -> 14.47 only — hypothesis count is the big
+    lever). In the full VO pipeline the all-device combination (dense
+    matcher + this estimator) reaches 0.0366 total error vs the
     reference-style host pipeline's 0.0712 (BF + cv2 USAC, 128x512).
     """
     import jax
