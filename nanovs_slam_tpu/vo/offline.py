@@ -62,7 +62,7 @@ class OfflineVO:
                  dense_conf: float = 0.05, n_hypotheses: int = 2048,
                  extract_chunk: int = 16, matcher: str = "dense",
                  lightglue=None, ratio_test: float = 0.7,
-                 dense_rel_conf: float = 0.2):
+                 dense_rel_conf: float = 0.1):
         import jax
         import jax.numpy as jnp
 
@@ -296,7 +296,7 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
                                      matcher: str = "dense",
                                      lightglue=None,
                                      k: int = 512,
-                                     dense_rel_conf: float = 0.2) -> Dict:
+                                     dense_rel_conf: float = 0.1) -> Dict:
     """Sequence-level counterpart of `evaluate_visual_odometry` (same
     error math, reference evaluation/visual_odometry.py:165-176,318-332):
     decode all frames, run OfflineVO, integrate with GT scale.

@@ -72,15 +72,18 @@ class VisualOdometry:
                  top_k_matches: int = 1000, ratio_test: float = 0.7,
                  n_classes: int = 28, dense_conf: float = 0.05,
                  dense_min_matches: Optional[int] = None,
-                 dense_rel_conf: float = 0.2,
+                 dense_rel_conf: float = 0.1,
                  device_pose: bool = False):
-        # dense_conf default: dual-softmax confidence mass spreads over
+        # dense_conf (the LEGACY absolute threshold, used when
+        # dense_rel_conf=0): dual-softmax confidence mass spreads over
         # ~1200 coarse cells, so its absolute scale is far below the
-        # reference's 0.7 pretrained-LoFTR filter. Measured operating
-        # curve on held-out homography pairs with a self-trained
-        # extractor (tools/matcher_benchmark.py --dense): t=0.2 -> 7
-        # matches/pair, t=0.05 -> 136 matches at 0.88 precision,
-        # t=0.02 -> 281 at 0.85. 0.05 keeps precision at its plateau.
+        # reference's 0.7 pretrained-LoFTR filter. Round-4 operating
+        # curve on held-out homography pairs with the trained extractor
+        # (tools/matcher_benchmark.py --dense --dense-rel 0.1 0.2 0.3
+        # 0.5): ADAPTIVE rel=0.1 -> precision 0.831 / recall 0.317 /
+        # 207 matches per pair; rel=0.2 -> 0.851/0.140/90; absolute
+        # 0.05 -> 0.854/0.154/99. rel=0.1 DOUBLES recall at ~2% lower
+        # precision vs the legacy point — hence the default.
         #
         # DENSE_MIN_MATCHES=400, not 50: on scenes where no confidence
         # clears the absolute threshold (repetitive texture flattens the
@@ -119,9 +122,10 @@ class VisualOdometry:
         # fixture NO cell ever clears 0.05, so the absolute path was
         # dead and every match came from the top-N fallback). The
         # relative rule tracks each pair's own confidence scale, so the
-        # confident path fires on every frame; the min-matches rank
-        # TOP-UP (not replacement) below still guarantees pose is never
-        # starved. Set dense_rel_conf=0 to restore the legacy absolute
+        # confident path fires on every frame (corridor: 12-136
+        # matches/frame at rel=0.1); the min-matches rank TOP-UP (not
+        # replacement) below still guarantees pose is never starved.
+        # Set dense_rel_conf=0 to restore the legacy absolute
         # threshold.
         self.dense_rel_conf = dense_rel_conf
         if dense_min_matches is not None:
@@ -428,7 +432,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              matcher: str = "bf", dense=None,
                              lightglue=None,
                              device_pose: bool = False,
-                             dense_rel_conf: float = 0.2) -> Dict:
+                             dense_rel_conf: float = 0.1) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT. lightglue: either the
     (model, params, size, max_n) tuple or a checkpoint path string

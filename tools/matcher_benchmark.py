@@ -32,6 +32,12 @@ import json
 import os
 import sys
 
+# CPU by default (override with JAX_PLATFORMS=tpu): precision/recall is
+# backend-independent, and a dead tunnel would otherwise hang backend
+# init (the axon plugin registers via sitecustomize)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
 sys.path.insert(0, _REPO)
@@ -73,9 +79,18 @@ def main():
     ap.add_argument("--dense", action="store_true",
                     help="also score the detector-free DenseMatcher")
     ap.add_argument("--dense-threshold", type=float, default=0.05)
+    ap.add_argument("--dense-rel", type=float, nargs="*", default=None,
+                    help="ALSO score the adaptive per-pair rule "
+                         "thr = rel * max(conf) at these rel values "
+                         "(the VO paths' dense_rel_conf)")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize may set jax_platforms programmatically; the env
+        # var alone is not enough (same recipe as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from nanovs_slam_tpu.configs import get_config
@@ -136,6 +151,8 @@ def main():
     rows = {"bf": [], "lightglue": []}
     if dense_matcher is not None:
         rows["dense"] = []
+        for rel in (args.dense_rel or []):
+            rows[f"dense_rel{rel}"] = []
     for i in range(args.pairs):
         img = dataset[i % len(dataset)]["image"]
         Hn = sample_homography((H, W), rs).astype(np.float64)
@@ -176,16 +193,6 @@ def main():
         if dense_matcher is not None:
             from nanovs_slam_tpu.matching.extractor import warp_points_np
 
-            dm = dense_matcher(np.asarray(imgs[0]), np.asarray(warped[0]),
-                               conf_threshold=args.dense_threshold)
-            p0, p1 = dm["keypoints0"], dm["keypoints1"]
-            if len(p0):
-                correct = (np.linalg.norm(
-                    warp_points_np(p0, H_pix) - p1, axis=-1) < 3.0)
-                prec = float(correct.mean())
-                n_correct = int(correct.sum())
-            else:
-                prec, n_correct = 0.0, 0
             # recall base: inner coarse cells whose warped center stays
             # in image1 bounds (the densest set a cell-grid matcher can
             # recover)
@@ -200,8 +207,28 @@ def main():
             in_b = ((wc_img1[:, 0] >= 0) & (wc_img1[:, 0] <= W - 1)
                     & (wc_img1[:, 1] >= 0) & (wc_img1[:, 1] <= H - 1))
             n_base = max(int(in_b.sum()), 1)
-            rows["dense"].append((prec, n_correct / n_base, len(p0),
-                                  n_base))
+
+            def score_dense(dm_out, row_key):
+                p0, p1 = dm_out["keypoints0"], dm_out["keypoints1"]
+                if len(p0):
+                    correct = (np.linalg.norm(
+                        warp_points_np(p0, H_pix) - p1, axis=-1) < 3.0)
+                    prec = float(correct.mean())
+                    n_correct = int(correct.sum())
+                else:
+                    prec, n_correct = 0.0, 0
+                rows[row_key].append((prec, n_correct / n_base, len(p0),
+                                      n_base))
+
+            score_dense(dense_matcher(np.asarray(imgs[0]),
+                                      np.asarray(warped[0]),
+                                      conf_threshold=args.dense_threshold),
+                        "dense")
+            for rel in (args.dense_rel or []):
+                score_dense(dense_matcher(np.asarray(imgs[0]),
+                                          np.asarray(warped[0]),
+                                          rel_threshold=rel),
+                            f"dense_rel{rel}")
 
     out = {}
     for name, rws in rows.items():

@@ -42,7 +42,7 @@ def parse_args():
                         "batched extraction + one lax.map program over "
                         "pairs (dense matching + device RANSAC); no "
                         "per-frame host round-trips")
-    p.add_argument("--dense_rel_conf", type=float, default=0.2,
+    p.add_argument("--dense_rel_conf", type=float, default=0.1,
                    help="dense matcher: adaptive per-pair confidence "
                         "threshold rel*max(conf); 0 = legacy absolute "
                         "0.05 threshold")
