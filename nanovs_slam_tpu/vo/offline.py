@@ -59,7 +59,7 @@ class OfflineVO:
 
     def __init__(self, model, cfg, variables, size: Tuple[int, int], cam,
                  k: int = 512, n_matches: int = 400,
-                 dense_conf: float = 0.05, n_hypotheses: int = 2048,
+                 dense_conf: float = 0.05, n_hypotheses: int = 8192,
                  extract_chunk: int = 16, matcher: str = "dense",
                  lightglue=None, ratio_test: float = 0.7,
                  dense_rel_conf: float = 0.1):

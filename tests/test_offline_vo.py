@@ -41,6 +41,7 @@ def test_offline_vo_shapes_and_determinism(setup):
 
     cfg, model, variables, cam, frames = setup
     vo = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256,
                    n_matches=64, extract_chunk=2)
     R, t, ninl, nmat = vo.relative_poses(frames, seed=3)
     assert R.shape == (T - 1, 3, 3) and t.shape == (T - 1, 3)
@@ -69,8 +70,10 @@ def test_offline_extract_chunking_invariant(setup):
 
     cfg, model, variables, cam, frames = setup
     vo_a = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256,
                      extract_chunk=2)
     vo_b = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256,
                      extract_chunk=T)
     fa = np.asarray(vo_a.extract(frames))
     fb = np.asarray(vo_b.extract(frames))
@@ -94,6 +97,7 @@ def test_offline_vo_sharded_pairs_match_single_device(setup):
     if len(jax.devices()) < 2:
         pytest.skip("needs the forced multi-device CPU mesh")
     vo = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256,
                    n_matches=64, extract_chunk=T)
     R0, t0, ninl0, nmat0 = vo.relative_poses(frames, seed=7)
     mesh = Mesh(np.array(jax.devices()), ("dp",))
@@ -181,6 +185,7 @@ def test_offline_vo_sparse_matchers(setup, matcher):
         lg_params = lg_model.init(jax.random.PRNGKey(0), dummy)["params"]
         lightglue = (lg_model, lg_params)
     vo = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256,
                    extract_chunk=2, matcher=matcher, lightglue=lightglue)
     R, t, ninl, nmat = vo.relative_poses(frames, seed=3)
     assert R.shape == (T - 1, 3, 3) and t.shape == (T - 1, 3)
@@ -204,6 +209,7 @@ def test_offline_vo_sharded_bf(setup):
     if len(jax.devices()) < 2:
         pytest.skip("needs the forced multi-device CPU mesh")
     vo = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256,
                    extract_chunk=T, matcher="bf")
     R0, t0, ninl0, nmat0 = vo.relative_poses(frames, seed=7)
     mesh = Mesh(np.array(jax.devices()), ("dp",))
