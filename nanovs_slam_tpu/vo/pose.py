@@ -79,7 +79,8 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
                             n_hypotheses: int = 8192,
                             threshold: float = 3e-4,
                             lo_rounds: int = 2,
-                            pool: int = 4):
+                            pool: int = 4,
+                            restarts: int = 3):
     """Device-resident robust essential-matrix pose: the TPU-native
     counterpart of the host tail `cv2.findEssentialMat(USAC_MSAC,
     threshold 3e-4) + cv2.recoverPose` (estimate_pose above; reference
@@ -130,6 +131,25 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     the all-device combination (dense
     matcher + this estimator) reaches 0.0366 total error vs the
     reference-style host pipeline's 0.0712 (BF + cv2 USAC, 128x512).
+
+    restarts (round 4): the residual after the polish work was +-0.9 deg
+    SEED variance concentrated on 2-3 hard low-parallax pairs — a
+    selection problem, not a model problem. A cross-seed study
+    (selecting per-pair among 3 existing single-stream runs by final
+    inlier count) reached t-dir mean 7.27 / median 5.18 deg — better
+    than every single stream (9.02-10.83 mean) and close to the
+    per-pair oracle (5.28/3.25), validating consensus size as the
+    selection signal. `restarts` ships that mechanism in-graph: the
+    whole stream (sampling, LO, pool polish) is vmapped over `restarts`
+    keys from `jax.random.split` inside the SAME program and the
+    restart with the largest final consensus set wins. Measured on the
+    harness (H=8192, restarts=3, probe seeds 0/1/2;
+    artifacts/pose_tail_restarts3.json): t-dir mean 8.84/8.44/9.24
+    (8.84 +- 0.33) — beats cv2's deterministic 9.26 at EVERY seed —
+    and median 6.77/8.12/7.69 vs cv2's 8.09; seed spread of the mean
+    tightened 0.9 -> 0.33 deg. Default restarts=3: the solver beats
+    the cv2 tail on the mean and matches-or-beats it on the median, at
+    3x the (hypothesis-parallel, TPU-cheap) solver cost.
     """
     import jax
     import jax.numpy as jnp
@@ -182,9 +202,6 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         _, idx = jax.lax.top_k(g, 8)
         return idx
 
-    keys = jax.random.split(key, 1 + lo_rounds)
-    E_h = solve_hypotheses(sample_idx(keys[0], v))
-
     # --- MSAC scoring: Sampson distance, all hypotheses x all points ---
     h0 = jnp.concatenate([pts0, jnp.ones((N, 1))], -1)  # (N, 3)
     h1 = jnp.concatenate([pts1, jnp.ones((N, 1))], -1)
@@ -201,63 +218,6 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
 
     def msac_of(E):
         return jnp.where(v, jnp.minimum(sampson(E), t2), 0.0).sum()
-
-    d2 = jax.vmap(sampson)(E_h)                      # (H, N)
-    msac = jnp.where(v[None, :], jnp.minimum(d2, t2), 0.0).sum(-1)
-    best = jnp.argmin(msac)
-    E = E_h[best]
-    score = msac[best]
-    inl = (d2[best] < t2) & v                        # (N,) winner inliers
-
-    # candidate POOL for the multi-start polish (see tail): the top-K
-    # hypotheses by MSAC, merged across the initial round and every LO
-    # round. Near-degenerate (low-parallax) pairs have a flat MSAC
-    # landscape where several hypotheses score within noise of each
-    # other but polish to different basins — polishing only the single
-    # argmin was the measured source of the t-direction tail gap vs
-    # cv2's 5-point (14.9 vs 9.3 deg mean on corridor BF populations).
-    POOL = max(1, pool)  # pool=1 degenerates to single-start polish
-    negs, pidx = jax.lax.top_k(-msac, POOL)
-    E_pool, s_pool = E_h[pidx], -negs
-
-    # --- local optimization: resample minimal sets INSIDE the winner's
-    # support (LO-RANSAC). A minimal 8-point hypothesis from the full,
-    # noise-contaminated pool is imprecise; global refits (weighted DLT,
-    # Sampson reweighting, threshold annealing) were all measured WORSE
-    # than simply drawing fresh minimal samples from the current inlier
-    # core and keeping the best MSAC model (two such rounds reach cv2
-    # USAC's support: 117.8 vs 118.6 mean inliers on corridor pairs,
-    # vs 85.9 for the single global refit). Every candidate — including
-    # degenerate ones when the support is tiny — is accept-if-better on
-    # the FULL MSAC score, so the result can only improve; static shapes
-    # throughout.
-    for k in keys[1:]:
-        E2_h = solve_hypotheses(sample_idx(k, inl))
-        msac2 = jnp.where(v[None, :],
-                          jnp.minimum(jax.vmap(sampson)(E2_h), t2),
-                          0.0).sum(-1)
-        b2 = jnp.argmin(msac2)
-        take = msac2[b2] < score
-        E = jnp.where(take, E2_h[b2], E)
-        score = jnp.minimum(msac2[b2], score)
-        inl = (sampson(E) < t2) & v
-        # inlier-weighted DLT refit, also accept-if-better
-        w = inl.astype(dt)[:, None]
-        _, _, vt_r = jnp.linalg.svd(A * w, full_matrices=True)
-        E_r = T1.T @ vt_r[-1].reshape(3, 3) @ T0
-        u, s, vt = jnp.linalg.svd(E_r)
-        sb = (s[0] + s[1]) * 0.5
-        E_r = u @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * sb) @ vt
-        take_r = msac_of(E_r) < score
-        E = jnp.where(take_r, E_r, E)
-        score = jnp.minimum(msac_of(E_r), score)
-        inl = (sampson(E) < t2) & v
-        # merge this round's top hypotheses + the refit into the pool
-        negs2, pidx2 = jax.lax.top_k(-msac2, POOL)
-        E_pool = jnp.concatenate([E_pool, E2_h[pidx2], E_r[None]])
-        s_pool = jnp.concatenate([s_pool, -negs2, msac_of(E_r)[None]])
-        negs3, keep = jax.lax.top_k(-s_pool, POOL)
-        E_pool, s_pool = E_pool[keep], -negs3
 
     # --- decomposition + masked cheirality vote -------------------------
     def decompose_vote(E_c, wf):
@@ -386,13 +346,91 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         j = jnp.argmin(cand_s)
         return cand_R[j], cand_t[j], cand_s[j]
 
-    R_cs, t_cs, s_cs = jax.vmap(polish_candidate)(E_pool, s_pool)
-    kb = jnp.argmin(s_cs)
-    R_fin, t_fin = R_cs[kb], t_cs[kb]
-    # sampson is scale-invariant, so skew(t) @ R reproduces the winner's
-    # E up to the scale/sign the metric ignores
-    inl = (sampson(skew(t_fin) @ R_fin) < t2) & v
-    return R_fin, t_fin[:, None], inl
+    def _solve_one(stream_key):
+        """One full RANSAC + LO + multi-start-polish stream from one
+        PRNG key. restarts vmaps this whole function."""
+        keys = jax.random.split(stream_key, 1 + lo_rounds)
+        E_h = solve_hypotheses(sample_idx(keys[0], v))
+        d2 = jax.vmap(sampson)(E_h)                  # (H, N)
+        msac = jnp.where(v[None, :], jnp.minimum(d2, t2), 0.0).sum(-1)
+        best = jnp.argmin(msac)
+        E = E_h[best]
+        score = msac[best]
+        inl = (d2[best] < t2) & v                    # (N,) winner inliers
+
+        # candidate POOL for the multi-start polish (see tail): the
+        # top-K hypotheses by MSAC, merged across the initial round and
+        # every LO round. Near-degenerate (low-parallax) pairs have a
+        # flat MSAC landscape where several hypotheses score within
+        # noise of each other but polish to different basins — polishing
+        # only the single argmin was the measured source of the
+        # t-direction tail gap vs cv2's 5-point (14.9 vs 9.3 deg mean
+        # on corridor BF populations).
+        POOL = max(1, pool)  # pool=1 degenerates to single-start polish
+        negs, pidx = jax.lax.top_k(-msac, POOL)
+        E_pool, s_pool = E_h[pidx], -negs
+
+        # --- local optimization: resample minimal sets INSIDE the
+        # winner's support (LO-RANSAC). A minimal 8-point hypothesis
+        # from the full, noise-contaminated pool is imprecise; global
+        # refits (weighted DLT, Sampson reweighting, threshold
+        # annealing) were all measured WORSE than simply drawing fresh
+        # minimal samples from the current inlier core and keeping the
+        # best MSAC model (two such rounds reach cv2 USAC's support:
+        # 117.8 vs 118.6 mean inliers on corridor pairs, vs 85.9 for
+        # the single global refit). Every candidate — including
+        # degenerate ones when the support is tiny — is accept-if-better
+        # on the FULL MSAC score, so the result can only improve; static
+        # shapes throughout.
+        for lo_key in keys[1:]:
+            E2_h = solve_hypotheses(sample_idx(lo_key, inl))
+            msac2 = jnp.where(v[None, :],
+                              jnp.minimum(jax.vmap(sampson)(E2_h), t2),
+                              0.0).sum(-1)
+            b2 = jnp.argmin(msac2)
+            take = msac2[b2] < score
+            E = jnp.where(take, E2_h[b2], E)
+            score = jnp.minimum(msac2[b2], score)
+            inl = (sampson(E) < t2) & v
+            # inlier-weighted DLT refit, also accept-if-better
+            w = inl.astype(dt)[:, None]
+            _, _, vt_r = jnp.linalg.svd(A * w, full_matrices=True)
+            E_r = T1.T @ vt_r[-1].reshape(3, 3) @ T0
+            u, s, vt = jnp.linalg.svd(E_r)
+            sb = (s[0] + s[1]) * 0.5
+            E_r = u @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * sb) @ vt
+            take_r = msac_of(E_r) < score
+            E = jnp.where(take_r, E_r, E)
+            score = jnp.minimum(msac_of(E_r), score)
+            inl = (sampson(E) < t2) & v
+            # merge this round's top hypotheses + refit into the pool
+            negs2, pidx2 = jax.lax.top_k(-msac2, POOL)
+            E_pool = jnp.concatenate([E_pool, E2_h[pidx2], E_r[None]])
+            s_pool = jnp.concatenate([s_pool, -negs2,
+                                      msac_of(E_r)[None]])
+            negs3, keep = jax.lax.top_k(-s_pool, POOL)
+            E_pool, s_pool = E_pool[keep], -negs3
+
+        R_cs, t_cs, s_cs = jax.vmap(polish_candidate)(E_pool, s_pool)
+        kb = jnp.argmin(s_cs)
+        R_fin, t_fin = R_cs[kb], t_cs[kb]
+        # sampson is scale-invariant, so skew(t) @ R reproduces the
+        # winner's E up to the scale/sign the metric ignores
+        inl_fin = (sampson(skew(t_fin) @ R_fin) < t2) & v
+        return R_fin, t_fin, inl_fin
+
+    if restarts <= 1:
+        R_fin, t_fin, inl = _solve_one(key)
+        return R_fin, t_fin[:, None], inl
+
+    # best-of-restarts by final consensus size (RANSAC's own selection
+    # criterion, applied across independent streams): the streams share
+    # every key-independent tensor (A, h0/h1, normalization) and differ
+    # only in their draws, so vmap keeps this one program.
+    rkeys = jax.random.split(key, restarts)
+    Rs, ts, inls = jax.vmap(_solve_one)(rkeys)
+    j = jnp.argmax(inls.sum(-1))
+    return Rs[j], ts[j][:, None], inls[j]
 
 
 def estimate_pose_device(kpn_ref, kpn_cur):
