@@ -431,6 +431,25 @@ def confidence_threshold(layer_index: int, n_layers: int) -> float:
                          0, 1))
 
 
+def inference_forward(model: "LightGlue", params,
+                      data: Dict[str, Array]) -> Dict[str, Array]:
+    """Config-dispatched inference entry: in the reference, width
+    pruning engages automatically whenever `width_confidence` is
+    configured (lightglue.py:564-594,613-624) — this is the analog seam
+    for consumers that hold a (model, params) pair (the VO loop, eval
+    CLIs). cfg.width_confidence > 0 dispatches to the static-bucket
+    width-pruned single-program path (matching/width_pruning.py);
+    otherwise the plain full-depth forward. Host-staged adaptive DEPTH
+    (cfg.depth_confidence) requires a host-read scalar per layer and
+    stays an explicit opt-in (matching/adaptive.py)."""
+    if model.cfg.width_confidence > 0:
+        from .width_pruning import width_pruned_forward
+
+        return width_pruned_forward(model, params, data,
+                                    model.cfg.width_confidence)
+    return model.apply({"params": params}, data)
+
+
 def assignment_at_layer(params: Dict, layer: int, desc0: Array,
                         desc1: Array, mask0: Optional[Array] = None,
                         mask1: Optional[Array] = None) -> Array:

@@ -103,6 +103,19 @@ def width_pruned_forward(model: LightGlue, params, data: Dict[str, Array],
     cfg = model.cfg
     v = {"params": params}
     n_layers = cfg.n_layers
+    # the keep signal is each layer's assigner matchability (reference
+    # :577,583). The reference's torch module always owns all layers'
+    # heads; flax creates params lazily, so an inference-only init
+    # (train=False) lacks them — fail loudly instead of letting the
+    # ScopeParamNotFoundError surface as a generic matcher failure.
+    missing = [i for i in range(n_layers - 1)
+               if f"log_assignment_{i}" not in params]
+    if missing:
+        raise ValueError(
+            "width pruning needs per-layer assignment heads but params "
+            f"lack log_assignment_{missing[0]}; initialize with "
+            "model.init(..., train=True) or use a train_lightglue.py "
+            "checkpoint (trained with deep supervision)")
     desc0, desc1, enc0, enc1 = model.apply(v, data, method="embed")
     B, M = desc0.shape[:2]
     N = desc1.shape[1]

@@ -245,7 +245,8 @@ class VisualOdometry:
     def _match_lightglue(self, kps, feat):
         import jax.numpy as jnp
 
-        from ..matching.lightglue import normalize_keypoints
+        from ..matching.lightglue import (inference_forward,
+                                          normalize_keypoints)
 
         model, params, size, max_n = self.lightglue
         def pad(a, n, v=0.0):
@@ -271,7 +272,9 @@ class VisualOdometry:
             "mask0": jnp.asarray((np.arange(max_n) < n0)[None]),
             "mask1": jnp.asarray((np.arange(max_n) < n1)[None]),
         }
-        pred = model.apply({"params": params}, data)
+        # config-dispatched: honors cfg.width_confidence (static-bucket
+        # width pruning) exactly as the reference's inference does
+        pred = inference_forward(model, params, data)
         m0 = np.asarray(pred["matches0"])[0]
         valid = m0 > -1
         idx0 = np.nonzero(valid)[0]
@@ -380,7 +383,8 @@ class VisualOdometry:
 
 
 def load_lightglue_for_vo(lg_ckpt: str, nfeatures: int, frame_size,
-                          max_n: int = 1024, threshold: float = 0.1):
+                          max_n: int = 1024, threshold: float = 0.1,
+                          width_confidence: float = -1.0):
     """Build the (model, params, size, max_n) tuple VisualOdometry's
     lightglue mode consumes, from a train_lightglue.py checkpoint.
 
@@ -402,7 +406,8 @@ def load_lightglue_for_vo(lg_ckpt: str, nfeatures: int, frame_size,
     if lg_cfg.input_dim != nfeatures:
         lg_cfg = dataclasses.replace(lg_cfg, input_dim=nfeatures,
                                      descriptor_dim=nfeatures)
-    lg_cfg = dataclasses.replace(lg_cfg, filter_threshold=threshold)
+    lg_cfg = dataclasses.replace(lg_cfg, filter_threshold=threshold,
+                                 width_confidence=width_confidence)
     return (LightGlue(lg_cfg), tree["params"],
             tuple(frame_size), max_n)
 
@@ -432,7 +437,8 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              matcher: str = "bf", dense=None,
                              lightglue=None,
                              device_pose: bool = False,
-                             dense_rel_conf: float = 0.1) -> Dict:
+                             dense_rel_conf: float = 0.1,
+                             lg_width: float = -1.0) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT. lightglue: either the
     (model, params, size, max_n) tuple or a checkpoint path string
@@ -493,7 +499,8 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
         # pad slots must cover the frontend's keypoint budget
         max_n = max(int(getattr(frontend, "top_k", 0) or 0), 1024)
         lightglue = load_lightglue_for_vo(lightglue, nfeat,
-                                          (size[1], size[0]), max_n=max_n)
+                                          (size[1], size[0]), max_n=max_n,
+                                          width_confidence=lg_width)
     vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
                         dense=ScaledDense(dense) if dense is not None
                         else None, lightglue=lightglue,

@@ -60,3 +60,44 @@ def test_vo_lightglue_matching_runs():
     # crash and shapes must be consistent
     assert R.shape == (3, 3)
     assert n_matches >= 0
+
+
+@pytest.mark.slow
+def test_vo_lightglue_width_pruning_matches_plain():
+    """VO's LightGlue path dispatches through inference_forward, so a
+    config with width_confidence > 0 engages static-bucket pruning
+    (vo_eval --lg_width). With <=128 valid keypoints (the final bucket)
+    and width_confidence=1.0 the pruned program is exactly the plain
+    forward, so the two VO runs must produce identical poses."""
+    import dataclasses
+
+    fx, fy, cx, cy = kitti_params()
+    cam = PinholeCamera(1241, 376, fx, fy, cx, cy)
+
+    cfg = LightGlueConfig(input_dim=32, descriptor_dim=32, n_layers=2,
+                          num_heads=4)
+    dummy = {
+        "keypoints0": np.zeros((1, 8, 2), np.float32),
+        "keypoints1": np.zeros((1, 8, 2), np.float32),
+        "descriptors0": np.zeros((1, 8, 32), np.float32),
+        "descriptors1": np.zeros((1, 8, 32), np.float32),
+    }
+    # train=True init creates the per-layer assigner heads width pruning
+    # reads (a trained train_lightglue.py checkpoint always has them)
+    params = LightGlue(cfg).init(jax.random.PRNGKey(0), dummy,
+                                 train=True)["params"]
+
+    results = {}
+    for wc in (-1.0, 1.0):
+        fe = CloudFrontend(cam, n_points=100)  # 100 <= min_bucket
+        model = LightGlue(dataclasses.replace(cfg, width_confidence=wc))
+        vo = VisualOdometry(fe, cam, matcher="lightglue",
+                            lightglue=(model, params, (1241, 376), 256))
+        vo.init(None)
+        fe.t = np.array([0.05, 0.0, 1.0])
+        results[wc] = vo.process_image(None, absolute_scale=1.0)
+
+    (R0, t0, n0), (R1, t1, n1) = results[-1.0], results[1.0]
+    assert n0 == n1
+    np.testing.assert_allclose(R0, R1, atol=0)
+    np.testing.assert_allclose(t0, t1, atol=0)

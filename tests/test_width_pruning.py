@@ -134,3 +134,34 @@ def test_survivors_are_top_matchability():
     survivors = set(np.nonzero(
         np.asarray(out["prune0"])[0] == cfg.n_layers)[0].tolist())
     assert survivors == expected
+
+
+def test_inference_forward_dispatch():
+    """inference_forward honors cfg.width_confidence — the reference's
+    automatic-engagement semantics (lightglue.py:613-624): >0 runs the
+    width-pruned program (prune0/prune1 present), <=0 the plain forward.
+    In the exactness regime (all valid points keep-flagged and within
+    the final bucket) the two must agree on matches."""
+    import dataclasses
+
+    from nanovs_slam_tpu.matching.lightglue import inference_forward
+
+    base = LightGlueConfig(input_dim=32, descriptor_dim=32, n_layers=3,
+                           num_heads=4)
+    data = _matchable_pair(256, 256, n_common=40, seed=3)
+    mask = np.zeros((1, 256), bool)
+    mask[0, :100] = True  # 100 valid <= min_bucket 128 -> exact regime
+    data["mask0"] = jnp.asarray(mask)
+    data["mask1"] = jnp.asarray(mask)
+    model = LightGlue(base)
+    params = model.init(jax.random.PRNGKey(0), data, train=True)["params"]
+
+    pred_plain = inference_forward(model, params, data)
+    assert "prune0" not in pred_plain
+
+    pruned_model = LightGlue(
+        dataclasses.replace(base, width_confidence=1.0))
+    pred_pruned = inference_forward(pruned_model, params, data)
+    assert "prune0" in pred_pruned
+    np.testing.assert_array_equal(np.asarray(pred_plain["matches0"]),
+                                  np.asarray(pred_pruned["matches0"]))

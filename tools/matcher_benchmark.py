@@ -76,6 +76,16 @@ def main():
     ap.add_argument("--seed", type=int, default=777)  # held-out stream
     ap.add_argument("--ratio", type=float, default=0.9)
     ap.add_argument("--lg-threshold", type=float, default=0.1)
+    ap.add_argument("--lg-width", type=float, default=-1.0,
+                    help="also benchmark width-pruned LightGlue at this "
+                         "width_confidence (quality twin of the "
+                         "bench_latency.py --width_pruning speed rows)")
+    ap.add_argument("--lg-width-prunes", type=int, default=None,
+                    help="bound the number of halvings (None = halve at "
+                         "every early layer to the floor)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON path (default "
+                         "artifacts/matcher_benchmark.json)")
     ap.add_argument("--dense", action="store_true",
                     help="also score the detector-free DenseMatcher")
     ap.add_argument("--dense-threshold", type=float, default=0.05)
@@ -135,6 +145,16 @@ def main():
     def lg_match(data):
         return matcher.apply({"params": lg_params}, data, False)
 
+    wp_match = None
+    if args.lg_width > 0:
+        from nanovs_slam_tpu.matching.width_pruning import \
+            width_pruned_forward
+
+        def wp_match(data):
+            return width_pruned_forward(matcher, lg_params, data,
+                                        args.lg_width,
+                                        n_prunes=args.lg_width_prunes)
+
     dense_matcher = None
     if args.dense:
         from nanovs_slam_tpu.matching.dense import DenseMatcher
@@ -149,6 +169,8 @@ def main():
                   [0, 0, 1]], np.float64)
 
     rows = {"bf": [], "lightglue": []}
+    if wp_match is not None:
+        rows["lightglue_width_pruned"] = []
     if dense_matcher is not None:
         rows["dense"] = []
         for rel in (args.dense_rel or []):
@@ -188,6 +210,14 @@ def main():
         sel = np.where(match0 >= 0)[0]
         p, r, n_gt = pair_pr(kp0, kp1, sel, match0[sel], H_pix)
         rows["lightglue"].append((p, r, len(sel), n_gt))
+
+        # (b2) width-pruned LightGlue on the identical pair
+        if wp_match is not None:
+            predw = wp_match(data)
+            m0w = np.asarray(predw["matches0"][0])
+            selw = np.where(m0w >= 0)[0]
+            p, r, n_gt = pair_pr(kp0, kp1, selw, m0w[selw], H_pix)
+            rows["lightglue_width_pruned"].append((p, r, len(selw), n_gt))
 
         # (c) detector-free dense matcher on the same image pair
         if dense_matcher is not None:
@@ -243,7 +273,8 @@ def main():
 
     out["config"] = vars(args)
     os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
-    path = os.path.join(_REPO, "artifacts", "matcher_benchmark.json")
+    path = args.out or os.path.join(_REPO, "artifacts",
+                                    "matcher_benchmark.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)

@@ -37,6 +37,11 @@ def parse_args():
     p.add_argument("--lg_ckpt", default=None,
                    help="trained LightGlue checkpoint for --matcher "
                         "lightglue (train_lightglue.py output)")
+    p.add_argument("--lg_width", type=float, default=-1.0,
+                   help="LightGlue adaptive width pruning confidence "
+                        "(reference width_confidence, e.g. 0.99; <=0 "
+                        "disables; static-bucket compaction, "
+                        "matching/width_pruning.py)")
     p.add_argument("--offline", action="store_true",
                    help="sequence-level offline VO (vo/offline.py): "
                         "batched extraction + one lax.map program over "
@@ -95,7 +100,8 @@ def main():
                            f"supports {'/'.join(offline_matchers)}; "
                            "falling back to dense)")
         for flag, default in (("device_pose", False),
-                              ("semantic_filter", False)):
+                              ("semantic_filter", False),
+                              ("lg_width", -1.0)):
             if getattr(args, flag) != default:
                 ignored.append(f"--{flag}")
         if args.lg_ckpt and args.matcher != "lightglue":
@@ -155,7 +161,8 @@ def main():
         new_size=(H, W), max_frames=args.max_frames, verbose=True,
         matcher=args.matcher, dense=dense,
         lightglue=args.lg_ckpt if args.matcher == "lightglue" else None,
-        device_pose=args.device_pose, dense_rel_conf=args.dense_rel_conf)
+        device_pose=args.device_pose, dense_rel_conf=args.dense_rel_conf,
+        lg_width=args.lg_width)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
