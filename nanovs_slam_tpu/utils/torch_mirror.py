@@ -601,6 +601,165 @@ def build_torch_mirror(cfg: KP2DTinyConfig,
 
 
 # ---------------------------------------------------------------------------
+# KeypointFormer (models/keypoint_former.py; reference kp2d_former.py +
+# segformer.py, the third model type of the reference's export_onnx CLI)
+# ---------------------------------------------------------------------------
+
+def _load_bn(bn: nn.BatchNorm2d, p: Mapping, bs: Mapping):
+    bn.weight.data = _t(p["scale"])
+    bn.bias.data = _t(p["bias"])
+    bn.running_mean.data = _t(bs["mean"])
+    bn.running_var.data = _t(bs["var"])
+
+
+class TMiT(nn.Module):
+    """Mix Transformer pyramid encoder twin of keypoint_former.MiT:
+    4 stages of [overlap-patch embed conv, num_layers x (PreNorm att +
+    residual, PreNorm mix-FF + residual)]; returns all stage outputs."""
+
+    _KSP = ((7, 4, 3), (3, 2, 1), (3, 2, 1), (3, 2, 1))
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.num_layers = cfg.num_layers
+        c_in = 3
+        self.embeds = nn.ModuleList()
+        self.norms_att = nn.ModuleList()
+        self.atts = nn.ModuleList()
+        self.norms_mff = nn.ModuleList()
+        self.mffs = nn.ModuleList()
+        for s, (dim, (k, stride, pad)) in enumerate(zip(cfg.dims,
+                                                        self._KSP)):
+            self.embeds.append(nn.Conv2d(c_in, dim, k, stride=stride,
+                                         padding=pad, bias=True))
+            for _ in range(cfg.num_layers):
+                self.norms_att.append(TChannelLayerNorm(dim))
+                self.atts.append(TEfficientSelfAttention(
+                    dim, cfg.heads[s], cfg.reduction_ratio[s]))
+                self.norms_mff.append(TChannelLayerNorm(dim))
+                self.mffs.append(TMixFeedForward(dim, cfg.ff_expansion[s]))
+            c_in = dim
+
+    def forward(self, x):
+        outs = []
+        for s, embed in enumerate(self.embeds):
+            x = embed(x)
+            for l in range(self.num_layers):
+                i = s * self.num_layers + l
+                x = x + self.atts[i](self.norms_att[i](x))
+                x = x + self.mffs[i](self.norms_mff[i](x))
+            outs.append(x)
+        return outs
+
+    def load_flax(self, p: Mapping):
+        for s, embed in enumerate(self.embeds):
+            _load_conv(embed, p[f"stage{s}_embed"])
+            for l in range(self.num_layers):
+                i = s * self.num_layers + l
+                self.norms_att[i].load_flax(p[f"stage{s}_l{l}_norm_att"])
+                self.atts[i].load_flax(p[f"stage{s}_l{l}_att"])
+                self.norms_mff[i].load_flax(p[f"stage{s}_l{l}_norm_mff"])
+                self.mffs[i].load_flax(p[f"stage{s}_l{l}_mff"])
+
+
+class _TConvHead(nn.Module):
+    """keypoint_former.KeypointFormer.head(): a list of
+    (feats, kernel, stride, pad, bn) convs, BN+ReLU after bn-flagged."""
+
+    def __init__(self, c_in: int, convs):
+        super().__init__()
+        self.convs = nn.ModuleList()
+        self.bns = nn.ModuleList()
+        self.has_bn = []
+        for feats, kernel, stride, pad, bn in convs:
+            self.convs.append(nn.Conv2d(c_in, feats, kernel, stride=stride,
+                                        padding=pad, bias=True))
+            self.bns.append(nn.BatchNorm2d(feats, eps=1e-5)
+                            if bn else nn.Identity())
+            self.has_bn.append(bn)
+            c_in = feats
+
+    def forward(self, x):
+        for conv, bn, has in zip(self.convs, self.bns, self.has_bn):
+            x = conv(x)
+            if has:
+                x = torch.relu(bn(x))
+        return x
+
+    def load_flax(self, name: str, p: Mapping, bs: Mapping):
+        for j, (conv, bn, has) in enumerate(zip(self.convs, self.bns,
+                                                self.has_bn)):
+            _load_conv(conv, p[f"{name}_conv{j}"])
+            if has:
+                _load_bn(bn, p[f"{name}_bn{j}"], bs[f"{name}_bn{j}"])
+
+
+class KeypointFormerMirror(nn.Module):
+    """Torch twin of models/keypoint_former.KeypointFormer (eval-mode
+    forward). Returns (score, coord, desc, vlad, seg) in NCHW — the
+    reference export_onnx.py's KeypointFormer output list."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        d = cfg.decoder_dim
+        self.mit = TMiT(cfg)
+        self.fused_convs = nn.ModuleList(
+            nn.Conv2d(dim, d, 1, bias=True) for dim in cfg.dims)
+        self.fused_bns = nn.ModuleList(
+            nn.BatchNorm2d(d, eps=1e-5) for _ in cfg.dims)
+        self.ups = nn.ModuleList(
+            nn.Upsample(scale_factor=2 ** i, mode="nearest") if i else
+            nn.Identity() for i in range(len(cfg.dims)))
+        c = 4 * d
+        self.seg = _TConvHead(c, [(d, 1, 1, 0, True),
+                                  (cfg.n_classes, 1, 1, 0, False)])
+        self.score = _TConvHead(c, [(d, 3, 2, 1, True),
+                                    (1, 1, 1, 0, False)])
+        self.loc = _TConvHead(c, [(d, 3, 2, 1, True),
+                                  (2, 1, 1, 0, False)])
+        self.feat = _TConvHead(c, [(d, 1, 1, 0, True), (d, 3, 1, 1, True),
+                                   (cfg.feat_dim, 1, 1, 0, False)])
+        self.vlad = _TConvHead(c, [(d, 1, 2, 1, True),
+                                   (cfg.feat_dim, 1, 1, 0, False)])
+        self.netvlad = TNetVLAD(cfg.feat_dim, cfg.num_clusters, vladv2=True)
+
+    def forward(self, x):
+        stage_outs = self.mit(x)
+        fused = [up(torch.relu(bn(conv(so))))
+                 for so, conv, bn, up in zip(stage_outs, self.fused_convs,
+                                             self.fused_bns, self.ups)]
+        fused = torch.cat(fused, dim=1)
+        score = torch.sigmoid(self.score(fused))
+        coord = torch.tanh(self.loc(fused))
+        feat = self.feat(fused)
+        seg = self.seg(fused)
+        vlad = self.netvlad(torch.relu(self.vlad(fused)))
+        return score, coord, feat, vlad, seg
+
+    def load_flax(self, params: Mapping, batch_stats: Mapping):
+        p, bs = params, batch_stats
+        self.mit.load_flax(p["mit"])
+        for i, (conv, bn) in enumerate(zip(self.fused_convs,
+                                           self.fused_bns)):
+            _load_conv(conv, p[f"to_fused{i}_conv"])
+            _load_bn(bn, p[f"to_fused{i}_bn"], bs[f"to_fused{i}_bn"])
+        for name in ("seg", "score", "loc", "feat", "vlad"):
+            getattr(self, name).load_flax(name, p, bs)
+        self.netvlad.load_flax(p["netvlad"])
+        return self
+
+
+def build_keypoint_former_mirror(cfg, params: Optional[Mapping] = None,
+                                 batch_stats: Optional[Mapping] = None
+                                 ) -> KeypointFormerMirror:
+    m = KeypointFormerMirror(cfg)
+    if params is not None:
+        m.load_flax(params, batch_stats or {})
+    return m.eval()
+
+
+# ---------------------------------------------------------------------------
 # ONNX export
 # ---------------------------------------------------------------------------
 
@@ -622,7 +781,7 @@ def export_onnx(model: KP2DTinyMirror, path: str, im_h: int, im_w: int,
             lambda model_bytes, custom_opsets: model_bytes
 
     names = list(OUTPUT_NAMES)
-    if model.cfg.depth:
+    if getattr(model.cfg, "depth", False):
         names.append("depth")
     model = model.eval()
     x = torch.randn(1, 3, im_h, im_w)

@@ -115,3 +115,55 @@ def test_export_cli(tmp_path):
         env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "KP2Dtiny_N.onnx").exists()
+
+
+def test_keypoint_former_mirror_matches_flax():
+    """KeypointFormer mirror == flax (reference export_onnx.py:61 exports
+    this third model type; tiny config keeps the test fast)."""
+    import dataclasses
+
+    from nanovs_slam_tpu.models.keypoint_former import (
+        KEYPOINTFORMER_CONFIGS, KeypointFormer)
+    from nanovs_slam_tpu.utils.torch_mirror import \
+        build_keypoint_former_mirror
+
+    cfg = dataclasses.replace(KEYPOINTFORMER_CONFIGS["tiny"], n_classes=5)
+    model = KeypointFormer(cfg)
+    rs = np.random.RandomState(1)
+    # the 4-stage pyramid (H/4..H/32) + 2^i re-upsampling needs %32 dims
+    x = rs.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    variables = model.init(jax.random.PRNGKey(4), jnp_asarray(x),
+                           train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    flax_out = model.apply({"params": params, "batch_stats": batch_stats},
+                           jnp_asarray(x), False)
+
+    mirror = build_keypoint_former_mirror(cfg, params, batch_stats)
+    with torch.no_grad():
+        score, coord, feat, vlad, seg = mirror(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    _assert_close("score", score, flax_out["score"], 1e-5)
+    _assert_close("coord", coord, flax_out["coord"], 1e-5)
+    _assert_close("desc", feat, flax_out["feat"], 1e-4)
+    _assert_close("vlad", vlad, flax_out["vlad"], 1e-5)
+    _assert_close("seg", seg, flax_out["seg"], 1e-4)
+
+
+def test_keypoint_former_onnx_cli(tmp_path):
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "export_onnx.py", "--model_type", "KeypointFormer",
+         "--config", "tiny", "--n_classes", "5", "--im_h", "64",
+         "--im_w", "64", "--model_path", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "KeypointFormer.onnx").exists()
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
