@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--device_pose", action="store_true",
                    help="on-device LO-RANSAC pose instead of the host "
                         "cv2 tail (pose.ransac_essential_device)")
+    p.add_argument("--lg_width", type=float, default=-1.0,
+                   help="LightGlue adaptive width pruning confidence "
+                        "(<=0 disables; see vo_eval --lg_width)")
     p.add_argument("--top_k", type=int, nargs="+", default=[300, 1000])
     p.add_argument("--im_h", type=int, default=240)
     p.add_argument("--im_w", type=int, default=320)
@@ -348,7 +351,8 @@ def main():
                         lightglue=(args.lg_ckpt
                                    if args.vo_matcher == "lightglue"
                                    else None),
-                        device_pose=args.device_pose)
+                        device_pose=args.device_pose,
+                        lg_width=args.lg_width)
                     results[f"vo_{vo_h}x{vo_w}"] = r
                     print(f"VO {vo_h}x{vo_w}: {r['total']}")
                 except Exception as e:

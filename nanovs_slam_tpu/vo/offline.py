@@ -62,7 +62,7 @@ class OfflineVO:
                  dense_conf: float = 0.05, n_hypotheses: int = 8192,
                  extract_chunk: int = 16, matcher: str = "dense",
                  lightglue=None, ratio_test: float = 0.7,
-                 dense_rel_conf: float = 0.1):
+                 dense_rel_conf: float = 0.1, restarts: int = 3):
         import jax
         import jax.numpy as jnp
 
@@ -121,7 +121,7 @@ class OfflineVO:
                 kpn0, kpn1 = unproject(kp0), unproject(kp1)
                 R, t, inl = ransac_essential_device(
                     kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
-                    n_hypotheses=n_hypotheses)
+                    n_hypotheses=n_hypotheses, restarts=restarts)
                 return R, t[:, 0], inl.sum(), keep.sum()
         else:
             from ..matching.extractor import make_extractor
@@ -168,7 +168,7 @@ class OfflineVO:
                 kpn0, kpn1 = unproject(kp0), unproject(kp1m)
                 R, t, inl = ransac_essential_device(
                     kpn0, kpn1, jax.random.fold_in(key, i), valid=valid,
-                    n_hypotheses=n_hypotheses)
+                    n_hypotheses=n_hypotheses, restarts=restarts)
                 return R, t[:, 0], inl.sum(), valid.sum()
 
         @jax.jit
@@ -296,7 +296,9 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
                                      matcher: str = "dense",
                                      lightglue=None,
                                      k: int = 512,
-                                     dense_rel_conf: float = 0.1) -> Dict:
+                                     dense_rel_conf: float = 0.1,
+                                     n_hypotheses: int = 8192,
+                                     restarts: int = 3) -> Dict:
     """Sequence-level counterpart of `evaluate_visual_odometry` (same
     error math, reference evaluation/visual_odometry.py:165-176,318-332):
     decode all frames, run OfflineVO, integrate with GT scale.
@@ -331,7 +333,8 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
     vo = OfflineVO(model, cfg, variables, (H, W), cam,
                    n_matches=n_matches, matcher=matcher,
                    lightglue=lightglue, k=k,
-                   dense_rel_conf=dense_rel_conf)
+                   dense_rel_conf=dense_rel_conf,
+                   n_hypotheses=n_hypotheses, restarts=restarts)
     R, t, ninl, nmat = vo.relative_poses(stack)
 
     t_errs, r_errs = [], []

@@ -73,7 +73,8 @@ class VisualOdometry:
                  n_classes: int = 28, dense_conf: float = 0.05,
                  dense_min_matches: Optional[int] = None,
                  dense_rel_conf: float = 0.1,
-                 device_pose: bool = False):
+                 device_pose: bool = False,
+                 pose_hypotheses: int = 8192, pose_restarts: int = 3):
         # dense_conf (the LEGACY absolute threshold, used when
         # dense_rel_conf=0): dual-softmax confidence mass spreads over
         # ~1200 coarse cells, so its absolute scale is far below the
@@ -135,6 +136,11 @@ class VisualOdometry:
         # — the last host stage of the frame loop moves onto the chip.
         # Jitted programs are cached per pad-slot count.
         self.device_pose = device_pose
+        # solver knobs (pose.ransac_essential_device): hypothesis count
+        # and best-of-N restart streams — the measured-best defaults;
+        # both scale the hypothesis-parallel (TPU-cheap) stage only
+        self.pose_hypotheses = pose_hypotheses
+        self.pose_restarts = pose_restarts
         self._pose_jit = {}
         self._frame_idx = 0
         self.fmap_prev = None  # device-resident dense map (dense mode)
@@ -349,8 +355,9 @@ class VisualOdometry:
         slots = max(512, 1 << int(np.ceil(np.log2(n))))
         if slots not in self._pose_jit:
             self._pose_jit[slots] = jax.jit(
-                lambda a, b, k, v: ransac_essential_device(a, b, k,
-                                                           valid=v))
+                lambda a, b, k, v: ransac_essential_device(
+                    a, b, k, valid=v, n_hypotheses=self.pose_hypotheses,
+                    restarts=self.pose_restarts))
         pad = slots - n
         a = np.concatenate([kpn_ref, np.zeros((pad, 2), np.float32)])
         b = np.concatenate([kpn_cur, np.zeros((pad, 2), np.float32)])
@@ -438,7 +445,9 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              lightglue=None,
                              device_pose: bool = False,
                              dense_rel_conf: float = 0.1,
-                             lg_width: float = -1.0) -> Dict:
+                             lg_width: float = -1.0,
+                             pose_hypotheses: int = 8192,
+                             pose_restarts: int = 3) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT. lightglue: either the
     (model, params, size, max_n) tuple or a checkpoint path string
@@ -505,7 +514,9 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                         dense=ScaledDense(dense) if dense is not None
                         else None, lightglue=lightglue,
                         device_pose=device_pose,
-                        dense_rel_conf=dense_rel_conf)
+                        dense_rel_conf=dense_rel_conf,
+                        pose_hypotheses=pose_hypotheses,
+                        pose_restarts=pose_restarts)
     vo.init(prep(frame))
 
     # pipelined frame loop: frame t+1's extraction is DISPATCHED before

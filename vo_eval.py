@@ -55,6 +55,13 @@ def parse_args():
                    help="replace the host cv2 USAC_MSAC pose tail with "
                         "the on-device batched RANSAC "
                         "(pose.ransac_essential_device)")
+    p.add_argument("--pose_hypotheses", type=int, default=8192,
+                   help="device-RANSAC hypothesis count (--device_pose / "
+                        "--offline; the hypothesis-parallel TPU-cheap "
+                        "axis, measured-best default)")
+    p.add_argument("--pose_restarts", type=int, default=3,
+                   help="device-RANSAC best-of-N vmapped restart streams, "
+                        "winner by final consensus size")
     p.add_argument("--semantic_filter", action="store_true")
     p.add_argument("--classes_to_filter", type=int, nargs="+", default=[21])
     p.add_argument("--max_frames", type=int, default=None)
@@ -129,7 +136,9 @@ def main():
             max_frames=args.max_frames, verbose=True,
             matcher=matcher, lightglue=lightglue,
             k=min(args.top_k, 1024) if matcher != "dense" else 512,
-            dense_rel_conf=args.dense_rel_conf)
+            dense_rel_conf=args.dense_rel_conf,
+            n_hypotheses=args.pose_hypotheses,
+            restarts=args.pose_restarts)
         print(json.dumps(results, indent=2, default=str))
         with open(args.out, "w") as f:
             json.dump({"args": vars(args), "results": results}, f,
@@ -162,7 +171,8 @@ def main():
         matcher=args.matcher, dense=dense,
         lightglue=args.lg_ckpt if args.matcher == "lightglue" else None,
         device_pose=args.device_pose, dense_rel_conf=args.dense_rel_conf,
-        lg_width=args.lg_width)
+        lg_width=args.lg_width, pose_hypotheses=args.pose_hypotheses,
+        pose_restarts=args.pose_restarts)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
         json.dump({"args": vars(args), "results": results}, f, indent=2,
