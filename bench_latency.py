@@ -19,6 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_RESULT: dict = {}
+
+
+def _emit(**rows):
+    """Accumulate rows and re-print the full JSON dict: the LAST line on
+    stdout is the result, and a mid-run TPU-worker crash (observed with
+    long chains over the tunnel) still leaves every completed row."""
+    _RESULT.update(rows)
+    print(json.dumps(_RESULT), flush=True)
+
 
 def main():
     from nanovs_slam_tpu.configs import get_config
@@ -79,6 +89,9 @@ def main():
     per, _rtt = chained_device_time(
         lambda i0: pipeline(variables, lg_params, i0, img1),
         img0, n_lo, n_hi)
+    _emit(metric="kp_extract_plus_lightglue_match_latency",
+          backend=jax.default_backend(),
+          device_ms_per_frame_pair=round(per * 1e3, 3))
 
     # host-in-the-loop p50/p95 (includes dispatch/fetch)
     timer = StepTimer()
@@ -86,6 +99,8 @@ def main():
         with timer.measure("extract_match"):
             float(pipeline(variables, lg_params, img0, img1))
     stats = timer.stats()["extract_match"]
+    _emit(host_loop_p50_ms=round(stats["p50_ms"], 3),
+          host_loop_p95_ms=round(stats["p95_ms"], 3))
 
     # adaptive (host-selected) early-exit matcher: staged programs, one
     # scalar fetch per executed layer (VERDICT r1 #9 measurement)
@@ -122,6 +137,8 @@ def main():
         adaptive_stats[tag] = {
             "p50_ms": round(timer2.stats()[tag]["p50_ms"], 3),
             "exit_layer": pred["exit_layer"]}
+    _emit(match_only_static_p50_ms=round(
+        timer2.stats()["static"]["p50_ms"], 3), **adaptive_stats)
 
     # adaptive WIDTH pruning (static bucket compaction,
     # matching/width_pruning.py; reference lightglue.py:564-594):
@@ -163,6 +180,7 @@ def main():
             "static_ms": round(per_s * 1e3, 3),
             "pruned_ms": round(per_p * 1e3, 3),
             "speedup": round(per_s / per_p, 3)}
+    _emit(**wp_stats)
 
     # detector-free dense mode (VO dense matcher per-frame work: one
     # dense-map extraction + coarse dual-softmax / fine soft-argmax
@@ -179,6 +197,7 @@ def main():
         return (conf.sum() + kp1.sum()).astype(jnp.float32)
 
     per_dense, _ = chained_device_time(dense_frame, img1, n_lo, n_hi)
+    _emit(dense_mode_device_ms_per_frame=round(per_dense * 1e3, 3))
 
     # device-resident robust pose (vo/pose.ransac_essential_device):
     # 8192 batched 8-point hypotheses (the measured-best default) +
@@ -202,7 +221,13 @@ def main():
         return (R.sum() + t.sum()
                 + inl.astype(jnp.float32).sum()).astype(jnp.float32)
 
-    per_pose, _ = chained_device_time(pose_scalar, kpn_a, n_lo, n_hi)
+    # short chains here: the pose program is itself huge (8192 hypotheses
+    # x 3 restarts, batched SVDs) — a 110-long scan of it crashed the TPU
+    # worker over the tunnel; 2/12 gives the same slope with a ~10x
+    # smaller program.
+    per_pose, _ = chained_device_time(pose_scalar, kpn_a,
+                                      *( (2, 12) if on_tpu else (1, 3) ))
+    _emit(device_ransac_pose_ms=round(per_pose * 1e3, 3))
 
     # offline sequence VO throughput (vo/offline.py): whole 30-frame
     # trajectory as a few XLA programs — batched extraction + ONE
@@ -222,21 +247,7 @@ def main():
     for _ in range(reps):
         ovo.relative_poses(frames)
     offline_fps = T * reps / (time.time() - t0)
-
-    print(json.dumps({
-        "metric": "kp_extract_plus_lightglue_match_latency",
-        "backend": jax.default_backend(),
-        "device_ms_per_frame_pair": round(per * 1e3, 3),
-        "dense_mode_device_ms_per_frame": round(per_dense * 1e3, 3),
-        "device_ransac_pose_ms": round(per_pose * 1e3, 3),
-        "offline_vo_sequence_fps": round(offline_fps, 1),
-        "host_loop_p50_ms": round(stats["p50_ms"], 3),
-        "host_loop_p95_ms": round(stats["p95_ms"], 3),
-        "match_only_static_p50_ms": round(timer2.stats()["static"]["p50_ms"],
-                                          3),
-        **adaptive_stats,
-        **wp_stats,
-    }))
+    _emit(offline_vo_sequence_fps=round(offline_fps, 1))
 
 
 if __name__ == "__main__":
