@@ -88,9 +88,16 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     XLA program — no per-hypothesis host loop:
 
     - sample n_hypotheses 8-point minimal subsets (one jax.random call),
-    - solve all hypotheses with ONE batched (H, 8, 9) SVD,
-    - project all candidate E onto the essential manifold (batched 3x3
-      SVDs),
+    - solve all hypotheses' null spaces with ONE batched Cholesky
+      inverse iteration (ops/smallmat.nullvec — round 4: replacing the
+      batched (H, 8, 9) jnp.linalg.svd, whose iterative TPU lowering
+      cost 110 ms/call at H=8192 and made the full solver 1.9 s on a
+      v5e; the measured swap is 55x on the null solve and takes the
+      full restarts=3 solver to 42 ms — tools/pose_device_profile.py,
+      artifacts/pose_device_profile.json),
+    - project all candidate E onto the essential manifold (closed-form
+      batched svd3, same module — the (8192, 3, 3) jnp.linalg.svd it
+      replaces cost 36 ms/call),
     - MSAC-score every hypothesis against every correspondence in one
       (H, N) Sampson-distance tensor (the N-sized products are plain
       batched matmuls -> MXU),
@@ -154,6 +161,8 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     import jax
     import jax.numpy as jnp
 
+    from nanovs_slam_tpu.ops.smallmat import cholesky_solve, nullvec, svd3
+
     pts0 = jnp.asarray(kpn_cur)  # cv2 operand order; dtype follows the
     pts1 = jnp.asarray(kpn_ref)  # inputs (f64 under jax.enable_x64)
     dt = pts0.dtype
@@ -181,18 +190,26 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0,
                    jnp.ones_like(x0)], axis=1)  # (N, 9)
 
+    def essential_project(E):
+        """Closest essential matrix (equal top singular pair, rank 2)
+        via the closed-form batched svd3 — NOT jnp.linalg.svd, whose
+        iterative TPU lowering costs 36 ms at (8192, 3, 3)
+        (tools/pose_device_profile.py)."""
+        U3, s3, V3 = svd3(E)
+        sbar = 0.5 * (s3[..., 0] + s3[..., 1])
+        return sbar[..., None, None] * (
+            U3[..., :, 0:1] @ jnp.swapaxes(V3[..., :, 0:1], -1, -2)
+            + U3[..., :, 1:2] @ jnp.swapaxes(V3[..., :, 1:2], -1, -2))
+
     def solve_hypotheses(idx):
-        """(H, 8) index sets -> (H, 3, 3) essential candidates via ONE
-        batched SVD + manifold projection."""
-        A_h = A[idx]  # (H, 8, 9)
-        _, _, vt_h = jnp.linalg.svd(A_h, full_matrices=True)
-        E_h = vt_h[:, -1, :].reshape(-1, 3, 3)  # normalized frame
-        E_h = T1.T[None] @ E_h @ T0[None]       # denormalize
-        u_h, s_h, vt2_h = jnp.linalg.svd(E_h)
-        sbar = (s_h[:, 0] + s_h[:, 1]) * 0.5
-        diag = (jnp.zeros_like(E_h).at[:, 0, 0].set(sbar)
-                .at[:, 1, 1].set(sbar))
-        return u_h @ diag @ vt2_h              # essential manifold
+        """(H, 8) index sets -> (H, 3, 3) essential candidates via the
+        batched Cholesky inverse-iteration null-space solve + manifold
+        projection. The svd it replaces was the measured solver
+        bottleneck: 110 ms per (8192, 8, 9) batch on a v5e vs 2 ms for
+        nullvec (artifacts/pose_device_profile.json)."""
+        E_h = nullvec(A[idx]).reshape(-1, 3, 3)  # normalized frame
+        E_h = T1.T[None] @ E_h @ T0[None]        # denormalize
+        return essential_project(E_h)            # essential manifold
 
     def sample_idx(k, support):
         """(H, 8) distinct indices restricted to `support` via
@@ -222,8 +239,12 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     # --- decomposition + masked cheirality vote -------------------------
     def decompose_vote(E_c, wf):
         """E -> the 4-way (R, t) decomposition, cheirality-voted by the
-        weighted midpoint-depth test (only wf-weighted points vote)."""
-        u, _, vt = jnp.linalg.svd(E_c)
+        weighted midpoint-depth test (only wf-weighted points vote).
+        Factors come from the closed-form svd3; its v2-sign convention
+        at most swaps the Ra/Rb roles inside the candidate set the vote
+        scans (equality-tested in tests/test_smallmat.py)."""
+        u3, _, v3 = svd3(E_c)
+        u, vt = u3, jnp.swapaxes(v3, -1, -2)
         d = jnp.sign(jnp.linalg.det(u @ vt))
         W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0],
                        [0.0, 0.0, 1.0]])
@@ -307,7 +328,7 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         J = jax.jacfwd(resid)(z)                    # (N, 5)
         r = resid(z)
         Hm = J.T @ J + 1e-12 * jnp.eye(5, dtype=dt)
-        p = jnp.linalg.solve(Hm, -(J.T @ r))
+        p = cholesky_solve(Hm, -(J.T @ r))
         Rn = exp_so3(p[:3]) @ R
         tn = t + b1 * p[3] + b2 * p[4]
         return Rn, tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
@@ -394,11 +415,8 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
             inl = (sampson(E) < t2) & v
             # inlier-weighted DLT refit, also accept-if-better
             w = inl.astype(dt)[:, None]
-            _, _, vt_r = jnp.linalg.svd(A * w, full_matrices=True)
-            E_r = T1.T @ vt_r[-1].reshape(3, 3) @ T0
-            u, s, vt = jnp.linalg.svd(E_r)
-            sb = (s[0] + s[1]) * 0.5
-            E_r = u @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * sb) @ vt
+            E_r = T1.T @ nullvec(A * w).reshape(3, 3) @ T0
+            E_r = essential_project(E_r)
             take_r = msac_of(E_r) < score
             E = jnp.where(take_r, E_r, E)
             score = jnp.minimum(msac_of(E_r), score)
