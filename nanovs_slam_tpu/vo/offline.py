@@ -9,12 +9,14 @@ whole sequence for the hardware:
 1. ONE batched forward extracts every frame's dense feature map —
    batch = frames, the MXU's favourite axis (docs/KERNELS.md batch
    scaling: cost quantizes to ceil(B/128) lane-tiles);
-2. ONE jitted `lax.map` over consecutive pairs fuses dense matching
-   (coarse dual-softmax + fine soft-argmax, `matching/dense.py`),
-   pinhole unprojection (device camera twin semantics,
-   `vo/camera.PinholeCameraDevice`), and the 2048-hypothesis device
-   RANSAC (`vo/pose.ransac_essential_device`) — zero host round-trips
-   inside the sequence;
+2. ONE jitted program runs two `lax.map`s over consecutive pairs — a
+   match map (coarse dual-softmax + fine soft-argmax,
+   `matching/dense.py`; or the in-graph BF / LightGlue matchers) with
+   pinhole unprojection (device camera twin semantics), then a pose map
+   running the batched device RANSAC
+   (`vo/pose.ransac_essential_device`) — zero host round-trips inside
+   the sequence. Two maps, not one: XLA's scheduling of the fused
+   match+solve body measured +66 ms/pair on a v5e (see pair_poses);
 3. the host only integrates the (T-1) relative poses with GT scale and
    computes the reference's error stats.
 
@@ -99,11 +101,9 @@ class OfflineVO:
 
             rel_conf = dense_rel_conf
 
-            def pair_step(f0, f1, i, key):
-                """One pair: dense match -> unproject -> device RANSAC.
-                `i` is the GLOBAL pair index (keys the RANSAC sampler),
-                so sharded and unsharded runs draw identical hypothesis
-                streams."""
+            def match_step(f0, f1):
+                """One pair: dense match -> unproject -> normalized
+                correspondences + validity."""
                 kp0, kp1, conf = dm._match(f0, f1)
                 rank = jnp.arange(conf.shape[0])
                 # dense match policy (same as the online loop's
@@ -118,11 +118,7 @@ class OfflineVO:
                 n_over = (conf > thr).sum()
                 keep = (rank < jnp.maximum(n_over, n_conf_needed)) \
                     & (conf > 0.0)
-                kpn0, kpn1 = unproject(kp0), unproject(kp1)
-                R, t, inl = ransac_essential_device(
-                    kpn0, kpn1, jax.random.fold_in(key, i), valid=keep,
-                    n_hypotheses=n_hypotheses, restarts=restarts)
-                return R, t[:, 0], inl.sum(), keep.sum()
+                return unproject(kp0), unproject(kp1), keep
         else:
             from ..matching.extractor import make_extractor
             from .matcher import bf_match_device
@@ -141,7 +137,7 @@ class OfflineVO:
                 from ..matching.lightglue import normalize_keypoints
                 lg_model, lg_params = lightglue[0], lightglue[1]
 
-            def pair_step(e0, e1, i, key):
+            def match_step(e0, e1):
                 kp0, d0, m0 = e0
                 kp1, d1, m1 = e1
                 if matcher == "bf":
@@ -165,33 +161,73 @@ class OfflineVO:
                     valid = mtc >= 0
                     t_idx = jnp.maximum(mtc, 0)
                 kp1m = jnp.take(kp1, t_idx, axis=0)
-                kpn0, kpn1 = unproject(kp0), unproject(kp1m)
-                R, t, inl = ransac_essential_device(
-                    kpn0, kpn1, jax.random.fold_in(key, i), valid=valid,
-                    n_hypotheses=n_hypotheses, restarts=restarts)
-                return R, t[:, 0], inl.sum(), valid.sum()
+                return unproject(kp0), unproject(kp1m), valid
+
+        def pose_step(kpn0, kpn1, valid, i, key):
+            """One pair: device RANSAC on materialized correspondences.
+            `i` is the GLOBAL pair index (keys the RANSAC sampler), so
+            sharded and unsharded runs draw identical hypothesis
+            streams."""
+            R, t, inl = ransac_essential_device(
+                kpn0, kpn1, jax.random.fold_in(key, i), valid=valid,
+                n_hypotheses=n_hypotheses, restarts=restarts)
+            return R, t[:, 0], inl.sum(), valid.sum()
+
+        def pair_step(r0, r1, i, key):
+            """match_step + pose_step for one pair — the sharded path's
+            per-pair program (and the behavioral unit the two-map
+            single-device program decomposes)."""
+            kpn0, kpn1, valid = match_step(r0, r1)
+            return pose_step(kpn0, kpn1, valid, i, key)
 
         @jax.jit
-        def pair_poses(fmaps, key):
+        def match_map(fmaps):
             """Frame representations (leading axis T; a (T, Hf, Wf, C)
             array for dense, a (kp, desc, mask) pytree for sparse) ->
-            per-pair (R, t, n_inliers, n_matches).
+            (T-1, N, 2) normalized correspondences x2 + validity."""
+            T = jax.tree.leaves(fmaps)[0].shape[0]
 
-            lax.map keeps peak memory at ONE pair's (N, N) coarse
-            affinity while still compiling the whole sequence into a
-            single program."""
-
-            def step(i):
+            def mstep(i):
                 r0 = jax.tree.map(lambda a: a[i], fmaps)
                 r1 = jax.tree.map(lambda a: a[i + 1], fmaps)
-                return pair_step(r0, r1, i, key)
+                return match_step(r0, r1)
 
-            T = jax.tree.leaves(fmaps)[0].shape[0]
-            return jax.lax.map(step, jnp.arange(T - 1))
+            return jax.lax.map(mstep, jnp.arange(T - 1))
+
+        @jax.jit
+        def pose_map(kpn0, kpn1, valid, key):
+            """Materialized correspondences -> per-pair
+            (R, t, n_inliers, n_matches) via the device RANSAC."""
+            T1m = kpn0.shape[0]
+
+            def pstep(args):
+                a, b, v, i = args
+                return pose_step(a, b, v, i, key)
+
+            return jax.lax.map(pstep, (kpn0, kpn1, valid,
+                                       jnp.arange(T1m)))
+
+        def pair_poses(fmaps, key):
+            """TWO separately dispatched XLA programs, not one. Measured
+            on a live v5e (128x512, 30 frames, H=8192 restarts=3): the
+            match map costs 2 ms/pair alone and the pose map 24.6
+            ms/pair alone, but any SINGLE program containing both —
+            one fused map body, two sequential lax.maps, or two maps
+            with an optimization_barrier between — runs the solver at
+            ~92 ms/pair (+270%). Splitting at the dispatch level
+            restores the sum of the parts (739 ms vs 2691 ms per
+            sequence); the intermediate (T-1, N, 2) arrays stay on
+            device, so the only cost is one extra dispatch."""
+            kpn0, kpn1, valid = match_map(fmaps)
+            return pose_map(kpn0, kpn1, valid, key)
 
         self._extract_batch = extract_batch
+        self._match_map = match_map
+        self._pose_map = pose_map
         self._pair_poses = pair_poses
         self._pair_step = pair_step
+        self._match_step = match_step
+        self._pose_step = pose_step
         self._pair_poses_sharded = {}
 
     def _build_sharded(self, mesh):
@@ -210,19 +246,37 @@ class OfflineVO:
             from jax.experimental.shard_map import shard_map
 
         axis = mesh.axis_names[0]
-        pair_step = self._pair_step
+        match_step = self._match_step
+        pose_step = self._pose_step
 
-        def local(f0s, f1s, idxs, key):
+        def local_match(f0s, f1s):
             return jax.lax.map(
-                lambda args: pair_step(args[0], args[1], args[2], key),
-                (f0s, f1s, idxs))
+                lambda args: match_step(args[0], args[1]), (f0s, f1s))
+
+        def local_pose(kpn0, kpn1, valid, idxs, key):
+            return jax.lax.map(
+                lambda args: pose_step(args[0], args[1], args[2],
+                                       args[3], key),
+                (kpn0, kpn1, valid, idxs))
 
         # P(axis) is a prefix spec: it applies to every leaf of the
-        # (possibly pytree-valued) frame representations
-        fn = shard_map(local, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(axis), P()),
-                       out_specs=P(axis))
-        return jax.jit(fn)
+        # (possibly pytree-valued) frame representations. Match and
+        # pose are SEPARATE programs for the same reason as pair_poses
+        # (a single program containing both runs the solver ~4x slower
+        # on a v5e); the sharded intermediates stay device-resident.
+        m_fn = jax.jit(shard_map(local_match, mesh=mesh,
+                                 in_specs=(P(axis), P(axis)),
+                                 out_specs=P(axis)))
+        p_fn = jax.jit(shard_map(local_pose, mesh=mesh,
+                                 in_specs=(P(axis), P(axis), P(axis),
+                                           P(axis), P()),
+                                 out_specs=P(axis)))
+
+        def fn(f0s, f1s, idxs, key):
+            kpn0, kpn1, valid = m_fn(f0s, f1s)
+            return p_fn(kpn0, kpn1, valid, idxs, key)
+
+        return fn
 
     def relative_poses_sharded(self, frames01: np.ndarray, mesh,
                                seed: int = 0):
