@@ -80,7 +80,8 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
                             threshold: float = 3e-4,
                             lo_rounds: int = 2,
                             pool: int = 4,
-                            restarts: int = 3):
+                            restarts: int = 3,
+                            lo_hypotheses: int | None = None):
     """Device-resident robust essential-matrix pose: the TPU-native
     counterpart of the host tail `cv2.findEssentialMat(USAC_MSAC,
     threshold 3e-4) + cv2.recoverPose` (estimate_pose above; reference
@@ -211,10 +212,10 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         E_h = T1.T[None] @ E_h @ T0[None]        # denormalize
         return essential_project(E_h)            # essential manifold
 
-    def sample_idx(k, support):
-        """(H, 8) distinct indices restricted to `support` via
+    def sample_idx(k, support, n=n_hypotheses):
+        """(n, 8) distinct indices restricted to `support` via
         gumbel-top-k — no rejection loop, static shapes."""
-        g = jax.random.gumbel(k, (n_hypotheses, N))
+        g = jax.random.gumbel(k, (n, N))
         g = jnp.where(support[None, :], g, -jnp.inf)
         _, idx = jax.lax.top_k(g, 8)
         return idx
@@ -403,8 +404,9 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
         # degenerate ones when the support is tiny — is accept-if-better
         # on the FULL MSAC score, so the result can only improve; static
         # shapes throughout.
+        H_lo = lo_hypotheses or n_hypotheses
         for lo_key in keys[1:]:
-            E2_h = solve_hypotheses(sample_idx(lo_key, inl))
+            E2_h = solve_hypotheses(sample_idx(lo_key, inl, H_lo))
             msac2 = jnp.where(v[None, :],
                               jnp.minimum(jax.vmap(sampson)(E2_h), t2),
                               0.0).sum(-1)

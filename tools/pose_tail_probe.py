@@ -120,6 +120,7 @@ def main():
     ap.add_argument("--lo_rounds", type=int, default=2)
     ap.add_argument("--pool", type=int, default=4)
     ap.add_argument("--restarts", type=int, default=3)
+    ap.add_argument("--lo_hypotheses", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_cv2", action="store_true")
     ap.add_argument("--out", default=None)
@@ -162,7 +163,8 @@ def main():
             kpn0, kpn1,
             jax.random.fold_in(jax.random.PRNGKey(args.seed), i),
             n_hypotheses=args.n_hypotheses, lo_rounds=args.lo_rounds,
-            pool=args.pool, restarts=args.restarts)
+            pool=args.pool, restarts=args.restarts,
+            lo_hypotheses=args.lo_hypotheses)
         R, t = np.asarray(R), np.asarray(t)
         rows["dev"].append((t_dir_err_deg(t, Tg[i]), r_err_deg(R, Rg[i]),
                             int(np.asarray(inl).sum())))
