@@ -140,6 +140,15 @@ def ransac_essential_device(kpn_ref, kpn_cur, key, valid=None,
     matcher + this estimator) reaches 0.0366 total error vs the
     reference-style host pipeline's 0.0712 (BF + cv2 USAC, 128x512).
 
+    lo_hypotheses (round 4, measured negative): drawing the LO rounds'
+    resamples from a SMALLER batch than the initial stage (1024 vs
+    8192) preserves quality on the pose-tail harness (t-dir mean 3.38
+    +- 0.24 vs 3.31 +- 0.12 over 3 seeds) but is SLOWER on a v5e (38.2
+    vs 23.7 ms at restarts=3) — mixed stage shapes defeat XLA's kernel
+    reuse across the three otherwise-identical stages. Default None
+    (= n_hypotheses) is both the fastest and the measured-best
+    configuration; the knob remains for non-TPU backends.
+
     restarts (round 4): the residual after the polish work was +-0.9 deg
     SEED variance concentrated on 2-3 hard low-parallax pairs — a
     selection problem, not a model problem. A cross-seed study
