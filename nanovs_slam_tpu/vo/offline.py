@@ -64,7 +64,8 @@ class OfflineVO:
                  dense_conf: float = 0.05, n_hypotheses: int = 8192,
                  extract_chunk: int = 16, matcher: str = "dense",
                  lightglue=None, ratio_test: float = 0.7,
-                 dense_rel_conf: float = 0.1, restarts: int = 3):
+                 dense_rel_conf: float = 0.1, restarts: int = 3,
+                 pair_batch: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -180,6 +181,8 @@ class OfflineVO:
             kpn0, kpn1, valid = match_step(r0, r1)
             return pose_step(kpn0, kpn1, valid, i, key)
 
+        bs = pair_batch if pair_batch and pair_batch > 1 else None
+
         @jax.jit
         def match_map(fmaps):
             """Frame representations (leading axis T; a (T, Hf, Wf, C)
@@ -192,12 +195,24 @@ class OfflineVO:
                 r1 = jax.tree.map(lambda a: a[i + 1], fmaps)
                 return match_step(r0, r1)
 
-            return jax.lax.map(mstep, jnp.arange(T - 1))
+            return jax.lax.map(mstep, jnp.arange(T - 1), batch_size=bs)
 
         @jax.jit
         def pose_map(kpn0, kpn1, valid, key):
             """Materialized correspondences -> per-pair
-            (R, t, n_inliers, n_matches) via the device RANSAC."""
+            (R, t, n_inliers, n_matches) via the device RANSAC.
+
+            pair_batch > 1 vmaps the solver over chunks of pairs
+            (lax.map batch_size). MEASURED NEGATIVE on TPU (live v5e,
+            128x512/30f, H=8192 restarts=3,
+            artifacts/offline_batch_probe.json): 24.6 ms/pair at B=1 vs
+            28.5 at B=2 and 29.0 at B=4 — the per-pair program already
+            batches restarts*H = 24576 hypotheses, so extra pairs add
+            (B, restarts, H, N) residual traffic without filling any
+            idle lanes (same mechanism as the lo_hypotheses negative:
+            the solver's batch axes saturate the chip). Default stays 1;
+            the knob is kept for narrower configs (small H / restarts=1)
+            and non-TPU backends."""
             T1m = kpn0.shape[0]
 
             def pstep(args):
@@ -205,7 +220,7 @@ class OfflineVO:
                 return pose_step(a, b, v, i, key)
 
             return jax.lax.map(pstep, (kpn0, kpn1, valid,
-                                       jnp.arange(T1m)))
+                                       jnp.arange(T1m)), batch_size=bs)
 
         def pair_poses(fmaps, key):
             """TWO separately dispatched XLA programs, not one. Measured
