@@ -239,6 +239,12 @@ def main():
 
     T, Hv, Wv = 30, 128, 512
     frames = rs.rand(T, Hv, Wv, 3).astype(np.float32)
+    if on_tpu:
+        # the shipped eval-path default on bf16: uint8 transfer (4x
+        # smaller over the tunnel) + in-graph normalize + one extract
+        # dispatch — measured 1584 -> 1027 ms/sequence
+        # (artifacts/offline_wall_probe.json)
+        frames = np.clip(np.rint(frames * 255.0), 0, 255).astype(np.uint8)
     cam = PinholeCamera(Wv, Hv, 350.0, 350.0, Wv / 2, Hv / 2)
     ovo = OfflineVO(model, cfg, variables, (Hv, Wv), cam)
     ovo.relative_poses(frames)  # compile + warm

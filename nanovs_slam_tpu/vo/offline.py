@@ -8,7 +8,12 @@ whole sequence for the hardware:
 
 1. ONE batched forward extracts every frame's dense feature map —
    batch = frames, the MXU's favourite axis (docs/KERNELS.md batch
-   scaling: cost quantizes to ceil(B/128) lane-tiles);
+   scaling: cost quantizes to ceil(B/128) lane-tiles). Frames travel
+   as uint8 with normalization in-graph (4x smaller transfer; the
+   quantization step equals the bf16 input-cast ulp, so the bf16
+   compute path sees the same values) and the whole padded sequence
+   is one dispatch — measured 1584 -> 1027 ms per 30-frame corridor
+   sequence on a live v5e (artifacts/offline_wall_probe.json);
 2. ONE jitted program runs two `lax.map`s over consecutive pairs — a
    match map (coarse dual-softmax + fine soft-argmax,
    `matching/dense.py`; or the in-graph BF / LightGlue matchers) with
@@ -65,7 +70,7 @@ class OfflineVO:
                  extract_chunk: int = 16, matcher: str = "dense",
                  lightglue=None, ratio_test: float = 0.7,
                  dense_rel_conf: float = 0.1, restarts: int = 3,
-                 pair_batch: int = 1):
+                 pair_batch: int = 1, max_single_dispatch: int = 128):
         import jax
         import jax.numpy as jnp
 
@@ -79,6 +84,23 @@ class OfflineVO:
         self.H, self.W = size
         self.cam = cam
         self.extract_chunk = extract_chunk
+        self.max_single_dispatch = max_single_dispatch
+
+        def to_model_input(raw):
+            """uint8 raw or float [0, 1] -> [-1, 1] f32, IN-GRAPH.
+            Frame normalization used to run on the host before
+            transfer; moving it into the program lets callers ship
+            uint8 over the wire (4x smaller — the tunnel transfer
+            dominates offline extraction wall time, see
+            artifacts/offline_wall_probe.json). dtype is static at
+            trace time, so the branch costs nothing."""
+            x = raw.astype(jnp.float32)
+            if raw.dtype == jnp.uint8:
+                # true division, not *(1/255): bitwise-matches the
+                # host-side u8/255. convention so the two input paths
+                # produce identical programs downstream
+                x = x / 255.0
+            return (x - 0.5) * 2.0
         H, W = size
         sx, sy = cam.width / W, cam.height / H
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
@@ -95,9 +117,11 @@ class OfflineVO:
             dm = self.dm
 
             @jax.jit
-            def extract_batch(variables, imgs):
-                """(B, H, W, 3) in [-1, 1] -> (B, Hf, Wf, C) fine maps."""
-                out = model.apply(variables, imgs, False, False, ("desc",))
+            def extract_batch(variables, raw):
+                """(B, H, W, 3) uint8 raw or float [0, 1] ->
+                (B, Hf, Wf, C) fine maps (normalize in-graph)."""
+                out = model.apply(variables, to_model_input(raw),
+                                  False, False, ("desc",))
                 return _l2n(out["feat"])
 
             rel_conf = dense_rel_conf
@@ -127,11 +151,12 @@ class OfflineVO:
             sparse_extract = make_extractor(model, cfg, H, W,
                                             max_keypoints=k)
 
-            def extract_batch(variables, imgs):
-                """(B, H, W, 3) in [-1, 1] -> (kp (B,k,2), desc (B,k,C),
-                mask (B,k)) — the online frontend's fixed-top-k
-                contract."""
-                e = sparse_extract(variables, imgs)
+            @jax.jit
+            def extract_batch(variables, raw):
+                """(B, H, W, 3) uint8 raw or float [0, 1] ->
+                (kp (B,k,2), desc (B,k,C), mask (B,k)) — the online
+                frontend's fixed-top-k contract (normalize in-graph)."""
+                e = sparse_extract(variables, to_model_input(raw))
                 return (e["keypoints"], e["descriptors"], e["mask"])
 
             if matcher == "lightglue":
@@ -325,30 +350,50 @@ class OfflineVO:
         return (np.asarray(R)[:n_pairs], np.asarray(t)[:n_pairs],
                 np.asarray(ninl)[:n_pairs], np.asarray(nmat)[:n_pairs])
 
-    def extract(self, frames01: np.ndarray):
-        """(T, H, W, 3) float [0, 1] -> device frame representations
-        (dense fine maps, or (kp, desc, mask) for sparse matchers),
-        chunked so the first compile covers one fixed batch shape."""
+    def extract(self, frames: np.ndarray):
+        """(T, H, W, 3) uint8 raw or float [0, 1] -> device frame
+        representations (dense fine maps, or (kp, desc, mask) for
+        sparse matchers).
+
+        uint8 is the TPU fast path: the host->device transfer is 4x
+        smaller and normalization runs in-graph. On the bf16 compute
+        path it is quality-neutral by construction: the u8 step in
+        [-1, 1] (2/255 ~= 0.0078) equals the bf16 input-cast ulp near
+        +-1 that the first conv applies anyway. Measured on a live v5e
+        (30-frame 128x512 corridor, artifacts/offline_wall_probe.json):
+        u8 transfer + single dispatch cut the full offline pipeline
+        1584 -> 1027 ms (~460 ms transfer size, ~100 ms dispatch/
+        normalize/concat).
+
+        Dispatch: T pads to a multiple of extract_chunk (bucketed
+        compile shapes); when the padded batch is <= max_single_dispatch
+        the whole sequence runs as ONE program, else the fixed-shape
+        chunk loop bounds compile cost for long sequences."""
         import jax
+
+        frames = np.asarray(frames)
+        T = len(frames)
+        c = self.extract_chunk
+        pad = (-T) % c
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, 0)])
+        if len(frames) <= self.max_single_dispatch:
+            fm = self._extract_batch(self.variables, frames)
+            return jax.tree.map(lambda a: a[:T], fm)
         import jax.numpy as jnp
 
-        x = (jnp.asarray(frames01, jnp.float32) - 0.5) * 2.0
-        c = self.extract_chunk
-        pad = (-len(x)) % c
-        if pad:
-            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)])
-        maps = [self._extract_batch(self.variables, x[i:i + c])
-                for i in range(0, len(x), c)]
-        T = len(frames01)
+        maps = [self._extract_batch(self.variables, frames[i:i + c])
+                for i in range(0, len(frames), c)]
         return jax.tree.map(lambda *chunks: jnp.concatenate(chunks)[:T],
                             *maps)
 
-    def relative_poses(self, frames01: np.ndarray, seed: int = 0):
-        """(T, H, W, 3) float [0, 1] -> (R (T-1,3,3), t (T-1,3),
-        n_inliers (T-1,), n_matches (T-1,)) numpy arrays."""
+    def relative_poses(self, frames: np.ndarray, seed: int = 0):
+        """(T, H, W, 3) uint8 raw or float [0, 1] -> (R (T-1,3,3),
+        t (T-1,3), n_inliers (T-1,), n_matches (T-1,)) numpy arrays."""
         import jax
 
-        fmaps = self.extract(frames01)
+        fmaps = self.extract(frames)
         R, t, ninl, nmat = self._pair_poses(fmaps,
                                             jax.random.PRNGKey(seed))
         return (np.asarray(R), np.asarray(t), np.asarray(ninl),
@@ -367,13 +412,20 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
                                      k: int = 512,
                                      dense_rel_conf: float = 0.1,
                                      n_hypotheses: int = 8192,
-                                     restarts: int = 3) -> Dict:
+                                     restarts: int = 3,
+                                     transfer_u8: Optional[bool] = None
+                                     ) -> Dict:
     """Sequence-level counterpart of `evaluate_visual_odometry` (same
     error math, reference evaluation/visual_odometry.py:165-176,318-332):
     decode all frames, run OfflineVO, integrate with GT scale.
 
     matcher/lightglue/k: forwarded to OfflineVO (dense | bf | lightglue;
-    lightglue = (model, params) from e.g. load_lightglue_for_vo)."""
+    lightglue = (model, params) from e.g. load_lightglue_for_vo).
+    transfer_u8: ship frames to the device as uint8 (4x smaller over
+    the tunnel; quantization step equals the bf16 input-cast ulp).
+    None (default) auto-enables it iff the model computes in bf16 —
+    frames are still RESIZED in float (the r3 uint8-resize finding),
+    only the transfer quantizes."""
     import cv2
 
     from .camera import PinholeCamera, kitti_params
@@ -399,6 +451,10 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
     from .visual_odometry import prep_frame
 
     stack = np.stack([prep_frame(f, (H, W)) for f in frames])
+    if transfer_u8 is None:
+        transfer_u8 = str(getattr(cfg, "dtype", "float32")) == "bfloat16"
+    if transfer_u8:
+        stack = np.clip(np.rint(stack * 255.0), 0, 255).astype(np.uint8)
     vo = OfflineVO(model, cfg, variables, (H, W), cam,
                    n_matches=n_matches, matcher=matcher,
                    lightglue=lightglue, k=k,

@@ -64,20 +64,45 @@ def test_offline_vo_shapes_and_determinism(setup):
 
 
 def test_offline_extract_chunking_invariant(setup):
-    """The chunked batched extract equals a whole-stack extract (the pad
-    frames never leak into the output)."""
+    """The chunk-loop extract equals the single-dispatch whole-stack
+    extract (the pad frames never leak into the output);
+    max_single_dispatch=0 forces the loop."""
     from nanovs_slam_tpu.vo.offline import OfflineVO
 
     cfg, model, variables, cam, frames = setup
     vo_a = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
-                   n_hypotheses=256,
-                     extract_chunk=2)
+                     n_hypotheses=256,
+                     extract_chunk=2, max_single_dispatch=0)
     vo_b = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
-                   n_hypotheses=256,
+                     n_hypotheses=256,
                      extract_chunk=T)
     fa = np.asarray(vo_a.extract(frames))
     fb = np.asarray(vo_b.extract(frames))
     np.testing.assert_allclose(fa, fb, atol=1e-6)
+
+
+def test_offline_extract_u8_equals_float(setup):
+    """uint8 transfer + in-graph /255 normalize equals the float path
+    on frames exactly representable in u8 (the transfer-size fast path
+    changes WHERE normalization happens, not its math)."""
+    from nanovs_slam_tpu.vo.offline import OfflineVO
+
+    cfg, model, variables, cam, frames = setup
+    frames_u8 = np.clip(np.rint(frames * 255.0), 0, 255).astype(np.uint8)
+    frames01 = frames_u8.astype(np.float32) / 255.0
+    vo = OfflineVO(model, cfg, variables, (H, W), cam, k=128,
+                   n_hypotheses=256, extract_chunk=T)
+    fa = np.asarray(vo.extract(frames_u8))
+    fb = np.asarray(vo.extract(frames01))
+    np.testing.assert_allclose(fa, fb, atol=1e-5)
+    # pose path accepts u8 end-to-end (pose-level EQUALITY between the
+    # dtypes is not asserted: with random weights the RANSAC winner is
+    # ill-conditioned and ulp-level descriptor diffs can flip it; the
+    # corridor quality artifact covers the trained-checkpoint path)
+    Ra, ta, ninl, nmat = vo.relative_poses(frames_u8, seed=1)
+    assert np.isfinite(Ra).all() and np.isfinite(ta).all()
+    np.testing.assert_allclose(np.linalg.norm(ta, axis=1), 1.0,
+                               atol=1e-4)
     assert fa.shape[0] == T
 
 

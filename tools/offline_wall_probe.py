@@ -106,6 +106,7 @@ def main():
     # transfer+normalize+chunks+concat
     pad = (-T) % 16
     fu8 = np.concatenate([frames_u8] + [frames_u8[-1:]] * pad)
+    ff32 = np.concatenate([frames] + [frames[-1:]] * pad)
 
     @jax.jit
     def extract_fused(variables, raw_u8):
@@ -122,6 +123,24 @@ def main():
                 np.asarray(nmat))
 
     timed(pf, "fused_u8_full_ms")
+
+    # control: same single dispatch + in-graph normalize but f32
+    # transfer — separates the transfer-size saving (u8 is 4x smaller
+    # over the tunnel) from the dispatch-count saving
+    @jax.jit
+    def extract_fused_f32(variables, raw01):
+        x = (raw01 - 0.5) * 2.0
+        o = model.apply(variables, x, False, False, ("desc",))
+        return _l2n(o["feat"])
+
+    def pf32():
+        fm = extract_fused_f32(variables, jnp.asarray(ff32))[:T]
+        kpn0, kpn1, valid = ovo._match_map(fm)
+        R, t, ninl, nmat = ovo._pose_map(kpn0, kpn1, valid, key)
+        return (np.asarray(R), np.asarray(t), np.asarray(ninl),
+                np.asarray(nmat))
+
+    timed(pf32, "fused_f32_full_ms")
 
     # derived stage costs
     out["derived_match_ms"] = round(
