@@ -11,6 +11,13 @@ augmentation + homography-pair warp (reusing data/pipeline.py's
 build_pair_batch). The only per-step uploads are the (B,) sample indices
 and (B,3,3) homographies — a few hundred bytes.
 
+Image/seg planes cache as uint8 when lossless (store_u8="auto"):
+anything decoded from an 8-bit source is exactly k/255, so u8 + an
+in-graph /255 at batch assembly reproduces the f32 cache to 1 ulp
+while quadrupling HBM dataset capacity and shrinking the one-time
+upload 4x (the same transfer economics as the VO u8 path,
+ops/image.py).
+
 Photometric augs here are the device-side analogs of the host pipeline's
 random grayscale / brightness / contrast (data/pipeline.py; blur and
 equalize are host-only and skipped in this path — acceptable for
@@ -56,10 +63,26 @@ def _photometric(images: Array, rng: jax.Array, augment: bool = True) -> Array:
 def _assemble(images: Array, segs: Array, depths: Optional[Array],
               idx: Array, homos: Array, rng: jax.Array, d_f: int,
               with_depth: bool, augment: bool) -> Dict[str, Array]:
-    imgs = _photometric(images[idx], rng, augment)
-    return build_pair_batch(imgs, segs[idx], homos,
+    imgs = images[idx]
+    segs = segs[idx]
+    # u8-cached planes (4x HBM capacity / gather traffic, see
+    # DeviceCachedPairLoader store_u8) decode in-graph; dtype is static
+    # at trace time so the f32 path is untouched
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    if segs.dtype == jnp.uint8:
+        segs = segs.astype(jnp.int32)
+    imgs = _photometric(imgs, rng, augment)
+    return build_pair_batch(imgs, segs, homos,
                             depths[idx] if with_depth else None,
                             d_f=d_f, with_depth=with_depth)
+
+
+def _lossless_u8(stack: np.ndarray) -> bool:
+    """True iff every value is exactly k/255 — the case for any image
+    decoded from an 8-bit source, where u8 caching is bitwise-lossless."""
+    scaled = stack * 255.0
+    return bool(np.abs(scaled - np.rint(scaled)).max() < 1e-4)
 
 
 class DeviceCachedPairLoader:
@@ -67,7 +90,16 @@ class DeviceCachedPairLoader:
 
     def __init__(self, dataset, batch_size: int, H: int, W: int,
                  d_f: int = 2, train: bool = True, seed: int = 0,
-                 with_depth: bool = False, sharding=None):
+                 with_depth: bool = False, sharding=None,
+                 store_u8: str | bool = "auto"):
+        """store_u8: cache image (and seg-id) planes as uint8 on device —
+        4x HBM dataset capacity and a 4x smaller one-time upload, decoded
+        in-graph at batch assembly. "auto" (default) enables it only when
+        LOSSLESS: images whose values are exactly k/255 (anything decoded
+        from an 8-bit source; resize happens in float BEFORE the check so
+        interpolated values keep full precision when they need it) and
+        segs whose ids fit u8. True forces image quantization (a 2/255
+        step on float-synthetic data); False keeps f32/int32."""
         import cv2
 
         self.batch_size = batch_size
@@ -101,8 +133,18 @@ class DeviceCachedPairLoader:
             return (jax.device_put(x, sharding) if sharding is not None
                     else jax.device_put(x))
 
-        self.images = put(np.stack(imgs))   # (N,H,W,3) in [0,1], one upload
-        self.segs = put(np.stack(segs))
+        img_stack = np.stack(imgs)          # (N,H,W,3) in [0,1]
+        seg_stack = np.stack(segs)
+        u8_imgs = (store_u8 is True
+                   or (store_u8 == "auto" and _lossless_u8(img_stack)))
+        if u8_imgs:
+            img_stack = np.clip(np.rint(img_stack * 255.0),
+                                0, 255).astype(np.uint8)
+        if store_u8 and seg_stack.min() >= 0 and seg_stack.max() <= 255:
+            seg_stack = seg_stack.astype(np.uint8)
+        self.store_u8 = u8_imgs
+        self.images = put(img_stack)        # one upload
+        self.segs = put(seg_stack)
         self.depths = put(np.stack(depths)) if with_depth else None
         self.n = len(imgs)
 

@@ -129,17 +129,23 @@ class DenseMatcher:
 
     # -- stage 1: dense feature map (device-resident between frames) -----
     def _build_extract(self):
+        from ..ops.image import to_model_input
+
         @jax.jit
-        def extract(variables, images):
-            out = self.model.apply(variables, images, False, False,
-                                   ("desc",))
+        def extract(variables, raw):
+            out = self.model.apply(variables, to_model_input(raw),
+                                   False, False, ("desc",))
             return _l2n(out["feat"][0])  # (Hf, Wf, C)
 
         return extract
 
-    def extract(self, img01: np.ndarray) -> Array:
-        """(H, W, 3) float [0,1] -> dense fine map, kept on device."""
-        x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
+    def extract(self, img: np.ndarray) -> Array:
+        """(H, W, 3) float [0,1] or uint8 raw -> dense fine map, kept
+        on device (u8 ships a 4x smaller transfer and normalizes
+        in-graph, ops/image.py)."""
+        img = np.asarray(img)
+        x = jnp.asarray(img if img.dtype == np.uint8
+                        else img.astype(np.float32))[None]
         return self._extract(self.variables, x)
 
     # -- stage 2: coarse dual-softmax + fine refinement ------------------

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..configs import KP2DTinyConfig
 from ..ops.grid_sample import grid_sample_nearest
+from ..ops.image import to_model_input
 from ..ops.postprocess import post_process, top_k_keypoints
 
 
@@ -56,7 +57,11 @@ class KP2DTinyFrontend:
                  else ("score", "loc", "desc"))
 
         @jax.jit
-        def infer(variables, images):
+        def infer(variables, raw):
+            # normalize in-graph so callers can ship uint8 (4x smaller
+            # transfer; ops/image.py) — float [0, 1] input traces to
+            # the identical program as host-side normalization
+            images = to_model_input(raw)
             out = self.model.apply(variables, images, False, False, heads)
             post = post_process(out, H, W, cfg.cell, cfg.cross_ratio,
                                 eval_mode=True)
@@ -92,12 +97,17 @@ class KP2DTinyFrontend:
 
         return infer
 
-    def run_async(self, img01: np.ndarray):
+    def run_async(self, img: np.ndarray):
         """Dispatch extraction and return the DEVICE arrays immediately
         (JAX async dispatch): the expensive fetch/trim happens in
         fetch(). Lets a VO driver overlap device extraction of frame
-        t+1 with the host RANSAC tail of frame t (SURVEY §7.3)."""
-        x = (jnp.asarray(img01, jnp.float32)[None] - 0.5) * 2.0
+        t+1 with the host RANSAC tail of frame t (SURVEY §7.3).
+
+        img: (H, W, 3) float in [0, 1] OR uint8 raw — u8 ships a 4x
+        smaller transfer and normalizes in-graph (ops/image.py)."""
+        img = np.asarray(img)
+        x = jnp.asarray(img if img.dtype == np.uint8
+                        else img.astype(np.float32))[None]
         return self._infer(self.variables, x)
 
     def fetch(self, handle):
@@ -112,7 +122,7 @@ class KP2DTinyFrontend:
         return kp[valid], d[valid], out
 
     def run(self, img01: np.ndarray):
-        """img01: (H, W, 3) float in [0, 1] at self.new_size.
+        """img01: (H, W, 3) float in [0, 1] (or uint8 raw) at self.new_size.
         Returns (pts (N,2), feat (N,C), out dict) trimmed to valid slots;
         out["kp_class"] is the per-keypoint segmentation class (N,) when the
         seg head runs (semantic_filter or with_seg), used by the semantic

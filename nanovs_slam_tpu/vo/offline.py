@@ -86,21 +86,7 @@ class OfflineVO:
         self.extract_chunk = extract_chunk
         self.max_single_dispatch = max_single_dispatch
 
-        def to_model_input(raw):
-            """uint8 raw or float [0, 1] -> [-1, 1] f32, IN-GRAPH.
-            Frame normalization used to run on the host before
-            transfer; moving it into the program lets callers ship
-            uint8 over the wire (4x smaller — the tunnel transfer
-            dominates offline extraction wall time, see
-            artifacts/offline_wall_probe.json). dtype is static at
-            trace time, so the branch costs nothing."""
-            x = raw.astype(jnp.float32)
-            if raw.dtype == jnp.uint8:
-                # true division, not *(1/255): bitwise-matches the
-                # host-side u8/255. convention so the two input paths
-                # produce identical programs downstream
-                x = x / 255.0
-            return (x - 0.5) * 2.0
+        from ..ops.image import to_model_input
         H, W = size
         sx, sy = cam.width / W, cam.height / H
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
@@ -454,7 +440,8 @@ def evaluate_visual_odometry_offline(model, cfg, variables,
     if transfer_u8 is None:
         transfer_u8 = str(getattr(cfg, "dtype", "float32")) == "bfloat16"
     if transfer_u8:
-        stack = np.clip(np.rint(stack * 255.0), 0, 255).astype(np.uint8)
+        from ..ops.image import quantize_u8
+        stack = quantize_u8(stack)
     vo = OfflineVO(model, cfg, variables, (H, W), cam,
                    n_matches=n_matches, matcher=matcher,
                    lightglue=lightglue, k=k,

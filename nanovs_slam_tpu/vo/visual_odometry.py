@@ -447,11 +447,19 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              dense_rel_conf: float = 0.1,
                              lg_width: float = -1.0,
                              pose_hypotheses: int = 8192,
-                             pose_restarts: int = 3) -> Dict:
+                             pose_restarts: int = 3,
+                             transfer_u8: Optional[bool] = None) -> Dict:
     """KITTI video VO eval (evaluation/visual_odometry.py:200-332):
     per-frame relative pose errors vs GT. lightglue: either the
     (model, params, size, max_n) tuple or a checkpoint path string
-    (loaded via load_lightglue_for_vo)."""
+    (loaded via load_lightglue_for_vo).
+
+    transfer_u8: ship frames to the device as uint8 (4x smaller
+    per-frame transfer; normalization runs in-graph, ops/image.py).
+    None (default) auto-enables it iff the model computes in bf16,
+    where the u8 quantization step equals the input-cast ulp. Frames
+    are still RESIZED in float (the r3 uint8-resize finding) — only
+    the transfer quantizes."""
     import cv2
 
     from .camera import kitti_params
@@ -465,8 +473,16 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
     fx, fy, cx, cy = kitti_params()
     cam = PinholeCamera(size[1], size[0], fx, fy, cx, cy)
 
+    if transfer_u8 is None:
+        cfg = getattr(frontend, "cfg", None)
+        transfer_u8 = str(getattr(cfg, "dtype", "float32")) == "bfloat16"
+
     def prep(f):
-        return prep_frame(f, new_size)
+        img01 = prep_frame(f, new_size)
+        if transfer_u8:
+            from ..ops.image import quantize_u8
+            return quantize_u8(img01)
+        return img01
 
     sx = size[1] / (new_size[1] if new_size else size[1])
     sy = size[0] / (new_size[0] if new_size else size[0])

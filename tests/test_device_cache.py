@@ -65,3 +65,41 @@ def test_device_cache_trains_one_step():
                               jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_device_cache_u8_lossless_equivalence():
+    """With a u8-representable dataset, 'auto' stores uint8 planes (4x
+    HBM capacity) and every batch equals the forced-f32 loader to input
+    1-ulp (the in-graph /255 may fuse differently than host division);
+    a float-synthetic dataset must NOT auto-quantize."""
+    H, W, B = 48, 64, 4
+
+    class U8Dataset:
+        def __init__(self, base):
+            self.base = base
+
+        def __len__(self):
+            return len(self.base)
+
+        def __getitem__(self, i):
+            item = dict(self.base[i])
+            item["image"] = np.clip(
+                np.rint(item["image"] * 255.0), 0, 255) / 255.0
+            return item
+
+    ds = U8Dataset(SyntheticShapesDataset((H, W), 8, 6, seed=0))
+    lo_u8 = DeviceCachedPairLoader(ds, B, H, W, d_f=2, train=True, seed=1)
+    lo_f32 = DeviceCachedPairLoader(ds, B, H, W, d_f=2, train=True, seed=1,
+                                    store_u8=False)
+    assert lo_u8.store_u8 and not lo_f32.store_u8
+    assert lo_u8.images.dtype == jnp.uint8
+    assert lo_u8.nbytes() < lo_f32.nbytes() / 3
+    for a, b in zip(lo_u8.epoch(0), lo_f32.epoch(0)):
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-5)
+
+    # float-valued images (not k/255) stay f32 under "auto"
+    lo_auto = DeviceCachedPairLoader(
+        SyntheticShapesDataset((H, W), 8, 6, seed=0), B, H, W, seed=1)
+    assert lo_auto.images.dtype == jnp.float32 or not lo_auto.store_u8

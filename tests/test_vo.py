@@ -183,3 +183,46 @@ def test_draw_feature_tracks_overlay():
     # grayscale input path
     gray = vo.draw_feature_tracks(np.zeros((48, 64), np.uint8))
     assert gray.shape == (48, 64, 3)
+
+
+def test_frontend_u8_equals_float():
+    """uint8 frames through the frontend equal the float path on
+    u8-representable inputs (the transfer-size fast path moves
+    normalization in-graph, it does not change the math)."""
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.ops.image import quantize_u8
+    from nanovs_slam_tpu.vo.frontend import KP2DTinyFrontend
+
+    H, W = 64, 96
+    cfg = get_config("N", n_classes=7)
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    fe = KP2DTinyFrontend(model, cfg, {"params": params, "batch_stats": bs},
+                          (H, W), nn_thresh=0.0, top_k=100)
+    img_u8 = quantize_u8(np.random.RandomState(3).rand(H, W, 3))
+    img01 = img_u8.astype(np.float32) / 255.0
+    pts_a, feat_a, _ = fe.run(img_u8)
+    pts_b, feat_b, _ = fe.run(img01)
+    # not bitwise: XLA fuses the in-graph /255 into the normalize
+    # (fma), a 1-ulp input difference vs the host-division path
+    np.testing.assert_allclose(pts_a, pts_b, atol=1e-4)
+    np.testing.assert_allclose(feat_a, feat_b, atol=1e-5)
+
+
+def test_dense_extract_u8_equals_float():
+    from nanovs_slam_tpu.configs import get_config
+    from nanovs_slam_tpu.matching.dense import DenseMatcher
+    from nanovs_slam_tpu.models.kp2dtiny import build_model, init_model
+    from nanovs_slam_tpu.ops.image import quantize_u8
+
+    H, W = 64, 96
+    cfg = get_config("N", n_classes=7)
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    dm = DenseMatcher(model, cfg, {"params": params, "batch_stats": bs},
+                      (H, W), k=64)
+    img_u8 = quantize_u8(np.random.RandomState(4).rand(H, W, 3))
+    fa = np.asarray(dm.extract(img_u8))
+    fb = np.asarray(dm.extract(img_u8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(fa, fb, atol=1e-6)
