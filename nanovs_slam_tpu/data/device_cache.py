@@ -174,6 +174,35 @@ class DeviceCachedPairLoader:
                             jnp.asarray(homos), jax.random.fold_in(rng, s),
                             self.d_f, self.with_depth, self.train)
 
+    def epoch_arrays(self, epoch_idx: int):
+        """The whole epoch's host-side randomness as three small arrays,
+        for train/scan_epoch.py's one-program-per-epoch path: (S, B) sample
+        indices, (S, B, 3, 3) homographies and the photometric-aug PRNG key.
+        Draws from the SAME RandomState stream in the SAME order as
+        epoch(), so a scanned epoch consumes bitwise-identical inputs to
+        the step-at-a-time loop (equivalence pinned in
+        tests/test_scan_epoch.py)."""
+        rs = np.random.RandomState(self.seed + epoch_idx)
+        order = rs.permutation(self.n) if self.train else np.arange(self.n)
+        S, B = len(self), self.batch_size
+        idx_all = np.empty((S, B), np.int32)
+        homos = np.empty((S, B, 3, 3), np.float32)
+        for s in range(S):
+            idx = order[s * B:(s + 1) * B]
+            if len(idx) < B:
+                idx = np.concatenate([idx, order[:B - len(idx)]])
+            idx_all[s] = idx
+            homos[s] = np.stack([sample_homography((self.H, self.W), rs)
+                                 for _ in range(B)])
+        return (jnp.asarray(idx_all), jnp.asarray(homos),
+                jax.random.PRNGKey(self.seed + epoch_idx))
+
+    def cache_arrays(self):
+        """The device-resident dataset planes (images, segs, depths) as
+        explicit operands for jitted programs (scan_epoch passes them as
+        arguments rather than closing over them)."""
+        return self.images, self.segs, self.depths
+
     def __iter__(self):
         self._epoch_counter = getattr(self, "_epoch_counter", -1) + 1
         return self.epoch(self._epoch_counter)

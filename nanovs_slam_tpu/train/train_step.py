@@ -80,7 +80,8 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
                     io_net: Optional[InlierNet] = None,
                     train_flags: Optional[Dict[str, bool]] = None,
                     io_top_k: int = 300, qat: bool = False,
-                    donate: bool = True, watch_gradients: bool = False):
+                    donate: bool = True, watch_gradients: bool = False,
+                    jit_compile: bool = True):
     """Returns train_step(state, batch, weights, rng) -> (state, metrics).
 
     batch: image/image_aug (B,H,W,3) in [-1,1], seg/seg_aug (B,hs,ws) int32,
@@ -88,6 +89,8 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
     qat: int8 fake-quantize every kernel in the forward pass with a
     straight-through gradient (QAT; reference init_qat,
     KeypointNetwithIOLoss.py:377-381).
+    jit_compile=False returns the UNJITTED step body for embedding inside
+    a larger program (train/scan_epoch.py scans it over a whole epoch).
     """
 
     def loss_fn(trainable, batch_stats, io_batch_stats, batch, rng,
@@ -136,7 +139,6 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
             new_io_stats = io_state["new_stats"]
         return total, (new_stats, new_io_stats, loss_dict)
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, weights: LossWeights,
                    rng: jax.Array):
         trainable = {"model": state.params, "io": state.io_params}
@@ -157,7 +159,9 @@ def make_train_step(model, cfg: KP2DTinyConfig, H: int, W: int,
                 metrics[f"grad_norm/{mod}"] = optax.global_norm(sub)
         return new_state, metrics
 
-    return train_step
+    if not jit_compile:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_optimizer(name: str = "adam", lr=3e-4, weight_decay: float = 1e-5,

@@ -88,6 +88,11 @@ def parse_args():
                    help="upload the train set to HBM once and assemble "
                         "batches on device (140x faster stepping on a "
                         "tunneled TPU; single-device, skips blur/equalize)")
+    p.add_argument("--scan_epoch", action="store_true",
+                   help="run each epoch as ONE XLA program (lax.scan over "
+                        "the train step, batch assembly in-graph; requires "
+                        "--device_cache). Bitwise-equal to the loop path; "
+                        "removes every per-step dispatch round trip")
     p.add_argument("--full_eval", type=int, default=3,
                    help="full keypoint/VPR/VO evaluation every n epochs "
                         "(reference train_multitask.py:275)")
@@ -273,6 +278,20 @@ def main():
                               train_flags=train_flags, io_top_k=args.top_k,
                               qat=args.qat,
                               watch_gradients=args.watch_gradients)
+    epoch_fn = None
+    if args.scan_epoch:
+        if not args.device_cache:
+            raise SystemExit("--scan_epoch assembles batches from the HBM "
+                             "dataset cache; it requires --device_cache")
+        from nanovs_slam_tpu.train.scan_epoch import (make_epoch_fn,
+                                                      weights_as_arrays)
+        step_body = make_train_step(model, cfg, H, W, io_net=io_net,
+                                    train_flags=train_flags,
+                                    io_top_k=args.top_k, qat=args.qat,
+                                    watch_gradients=args.watch_gradients,
+                                    jit_compile=False)
+        epoch_fn = make_epoch_fn(step_body, d_f=d_f,
+                                 with_depth=args.depth, augment=True)
 
     config_blob = {"input_args": vars(args), "train_config": train_config,
                    "size": size, "model_config": getattr(cfg, "name", args.config),
@@ -292,7 +311,26 @@ def main():
             weights = weights._replace(vlad_loss=0.0)
         epoch_rng = jax.random.fold_in(rng, epoch)
         losses = []
-        if args.device_cache:
+        if epoch_fn is not None:
+            # one dispatch for the whole epoch; the host uploads only the
+            # epoch's indices + homographies and (on log epochs) fetches
+            # the stacked per-step metrics once
+            idx_all, homos_all, assemble_rng = loader.epoch_arrays(epoch)
+            idx_all = idx_all[:steps_per_epoch]
+            homos_all = homos_all[:steps_per_epoch]
+            state, metrics_stack = epoch_fn(
+                state, loader.cache_arrays(), idx_all, homos_all,
+                weights_as_arrays(weights), assemble_rng, epoch_rng)
+            if (epoch * steps_per_epoch) % log_every < steps_per_epoch:
+                m = {k: float(v[-1]) for k, v in metrics_stack.items()}
+                losses.append(m["total_loss"])
+                logger.log_dict("loss/", m,
+                                step=(epoch + 1) * steps_per_epoch - 1)
+                print(f"E{epoch} it{steps_per_epoch - 1}/{steps_per_epoch} "
+                      f"loss {m['total_loss']:.4f} "
+                      f"seg {m.get('seg_loss', 0):.4f} "
+                      f"vlad {m.get('vlad_loss', 0):.4f}", flush=True)
+        elif args.device_cache:
             # batches are assembled on device; nothing to prefetch/shard
             batch_iter = iter(loader.epoch(epoch))
         else:
@@ -301,7 +339,7 @@ def main():
             # 2-deep prefetch: host-side augmentation + homography sampling
             # for batch t+1 overlaps the device step for batch t
             batch_iter = device_prefetch(iter(loader), size=2)
-        for i, batch in enumerate(batch_iter):
+        for i, batch in enumerate(() if epoch_fn is not None else batch_iter):
             if i >= steps_per_epoch:
                 break
             if not args.device_cache:
