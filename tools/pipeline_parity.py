@@ -200,7 +200,26 @@ def run_keypoints(args):
     deltas = {k: abs(ours[k] - ref[k]) for k in ref
               if not isinstance(ref[k], dict)}
     print("abs deltas:", deltas)
+
+    # Noise-floor control (same device as the VO eps control below): the
+    # metric tail is deterministic but CHAOTIC — near-tied scores flip
+    # top-k membership / the 0.7 gate, and @1px homography correctness is
+    # knife-edge. Evaluating OUR stack against an eps-perturbed (1e-7
+    # relative) copy of its own weights bounds the delta two bit-identical
+    # pipelines can legitimately show; ours-vs-ref deltas within this
+    # floor are runtime float noise (XLA vs torch summation order), not a
+    # stack difference.
+    import jax.tree_util as jtu
+    eps_vars = jtu.tree_map(
+        lambda x: x * (1.0 + 1e-7) if hasattr(x, "dtype")
+        and np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+        variables)
+    ours_eps = our_keypoint_eval(eps_vars, cfg, items, args.top_k)
+    noise = {k: abs(ours[k] - ours_eps[k]) for k in deltas}
+    print("noise floor (ours vs eps-perturbed ours):", noise)
+
     out = {"reference": ref, "ours": ours, "deltas": deltas,
+           "ours_eps_sensitivity": noise,
            "top_k": args.top_k, "n_pairs": len(items),
            "ckpt": args.ckpt, "score_bias": args.score_bias}
 
