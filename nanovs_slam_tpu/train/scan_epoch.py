@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.device_cache import _assemble
 from .multitask_loss import LossWeights
@@ -65,6 +66,32 @@ def make_epoch_fn(step_body, d_f: int, with_depth: bool, augment: bool):
         return jax.lax.scan(body, state, xs)
 
     return epoch_fn
+
+
+def shard_epoch_inputs(mesh: Mesh, state, cache, idx_all, homos_all):
+    """Place one epoch's operands for a DATA-PARALLEL mesh.
+
+    epoch_fn itself is sharding-agnostic — jit partitions the scanned
+    program from its operand shardings (GSPMD), exactly like the
+    step-at-a-time dp path (parallel/mesh.py): train state and the HBM
+    dataset cache are REPLICATED, and the per-step batch dimension of
+    the (S, B) indices / (S, B, 3, 3) homographies is SHARDED over the
+    mesh's first axis, so each device assembles and forwards only its
+    B/n slice while XLA inserts the gradient/metric all-reduces over
+    ICI. Whole-epoch multi-chip training therefore stays ONE dispatch
+    per epoch. Requires B % mesh_axis_size == 0."""
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    B = idx_all.shape[1]
+    if B % n != 0:
+        raise ValueError(f"batch {B} not divisible by mesh axis "
+                         f"'{axis}' size {n}")
+    rep = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(None, axis))
+    put = jax.device_put
+    state = jax.tree_util.tree_map(lambda x: put(x, rep), state)
+    cache = jax.tree_util.tree_map(lambda x: put(x, rep), cache)
+    return state, cache, put(idx_all, bsh), put(homos_all, bsh)
 
 
 def weights_as_arrays(weights: LossWeights) -> LossWeights:

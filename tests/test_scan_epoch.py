@@ -136,3 +136,46 @@ def test_scan_epoch_trainer_cli_smoke(tmp_path):
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists()
+
+
+def test_scan_epoch_sharded_equals_single():
+    """shard_epoch_inputs + the SAME epoch_fn over a 4-device dp mesh ==
+    the single-device scan: GSPMD partitions the scanned program from
+    operand shardings alone (batch dim of idx/homos sharded, state+cache
+    replicated), so losses and final params must match."""
+    from nanovs_slam_tpu.parallel.mesh import make_mesh
+    from nanovs_slam_tpu.train.scan_epoch import shard_epoch_inputs
+
+    loader = DeviceCachedPairLoader(_TinyDataset(), 4, H, W, d_f=2,
+                                    train=True, seed=5)
+    weights = weights_as_arrays(default_loss_weights())
+    epoch_rng = jax.random.fold_in(jax.random.PRNGKey(9), 0)
+    idx_all, homos_all, assemble_rng = loader.epoch_arrays(0)
+
+    state_1, step_body = _setup(scan=True)
+    epoch_fn = make_epoch_fn(step_body, d_f=2, with_depth=False,
+                             augment=True)
+    state_1, stack_1 = epoch_fn(state_1, loader.cache_arrays(),
+                                idx_all, homos_all, weights,
+                                assemble_rng, epoch_rng)
+
+    mesh = make_mesh(4)
+    state_m, _ = _setup(scan=True)
+    state_m, cache, idx_s, homos_s = shard_epoch_inputs(
+        mesh, state_m, loader.cache_arrays(), idx_all, homos_all)
+    state_m, stack_m = epoch_fn(state_m, cache, idx_s, homos_s,
+                                weights, assemble_rng, epoch_rng)
+
+    np.testing.assert_allclose(np.asarray(stack_m["total_loss"]),
+                               np.asarray(stack_1["total_loss"]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # the compiled epoch program must actually be partitioned: the
+    # assembled per-device batch slice is B/4
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_epoch_inputs(make_mesh(8), state_m, cache,
+                           idx_all[:, :6], homos_all[:, :6])

@@ -284,6 +284,7 @@ def main():
             raise SystemExit("--scan_epoch assembles batches from the HBM "
                              "dataset cache; it requires --device_cache")
         from nanovs_slam_tpu.train.scan_epoch import (make_epoch_fn,
+                                                      shard_epoch_inputs,
                                                       weights_as_arrays)
         step_body = make_train_step(model, cfg, H, W, io_net=io_net,
                                     train_flags=train_flags,
@@ -318,8 +319,15 @@ def main():
             idx_all, homos_all, assemble_rng = loader.epoch_arrays(epoch)
             idx_all = idx_all[:steps_per_epoch]
             homos_all = homos_all[:steps_per_epoch]
+            cache = loader.cache_arrays()
+            if n_dev > 1:
+                # dp over the mesh, still one dispatch/epoch: cache+state
+                # replicated, the batch dim of indices/homographies
+                # sharded (no-op placement on later epochs)
+                state, cache, idx_all, homos_all = shard_epoch_inputs(
+                    mesh, state, cache, idx_all, homos_all)
             state, metrics_stack = epoch_fn(
-                state, loader.cache_arrays(), idx_all, homos_all,
+                state, cache, idx_all, homos_all,
                 weights_as_arrays(weights), assemble_rng, epoch_rng)
             if (epoch * steps_per_epoch) % log_every < steps_per_epoch:
                 m = {k: float(v[-1]) for k, v in metrics_stack.items()}
