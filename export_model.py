@@ -28,8 +28,11 @@ def parse_args():
     p.add_argument("--to_export", action="store_true",
                    help="strip the NetVLAD aggregation (reference contract)")
     p.add_argument("--format", default="stablehlo",
-                   choices=["stablehlo", "savedmodel", "int8"])
+                   choices=["stablehlo", "savedmodel", "int8", "mcu"])
     p.add_argument("--out", default="exported_model")
+    p.add_argument("--calib_images", type=int, default=8,
+                   help="mcu format: random calibration batches for int8 "
+                        "activation scales (0 = f32 bundle)")
     return p.parse_args()
 
 
@@ -81,6 +84,36 @@ def main():
                          "config": cfg.name}, f)
         print(f"int8 weights written to {path} "
               f"({int8_size_bytes(q) / 1e6:.2f} MB)")
+    elif args.format == "mcu":
+        # ExecuTorch-analog deployment artifact (reference quantize.py:18-56
+        # -> model.pte): one self-describing .nvsb file executed by the
+        # dependency-free C runtime in native/mcu_runtime.c.
+        from nanovs_slam_tpu.deploy import export_mcu_bundle
+        from nanovs_slam_tpu.quant import calibrate_conv_scales
+
+        if not args.to_mcu:
+            # the bundle op set is the MCU deployment variant; a
+            # pixelshuffle checkpoint has no transposed_conv params to
+            # bundle, so this must be explicit rather than auto-converted
+            raise SystemExit("--format mcu requires --to_mcu (the bundle "
+                             "serializes the convtranspose deploy graph)")
+
+        scales = None
+        if args.calib_images > 0:
+            rs = np.random.RandomState(0)
+
+            def apply_fn(v, batch, mutable):
+                return model.apply(v, batch, False, mutable=mutable,
+                                   heads=("score", "loc", "desc"))
+
+            batches = [rs.rand(1, H, W, 3).astype(np.float32)
+                       for _ in range(args.calib_images)]
+            scales = calibrate_conv_scales(apply_fn, variables, batches)
+        path = args.out + ".nvsb"
+        export_mcu_bundle(params, batch_stats, cfg, path, scales=scales)
+        print(f"MCU bundle written to {path} "
+              f"({os.path.getsize(path) / 1e6:.3f} MB, "
+              f"{'int8' if scales else 'f32'})")
     return 0
 
 
