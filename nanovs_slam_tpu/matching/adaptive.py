@@ -86,3 +86,75 @@ class AdaptiveLightGlue:
         pred = dict(self._final[exit_layer](v, desc0, desc1, mask0, mask1))
         pred["exit_layer"] = exit_layer
         return pred
+
+
+def early_exit_forward(model: LightGlue, params, data: Dict,
+                       depth_confidence: float = 0.95) -> Dict:
+    """Fully IN-GRAPH early exit: ONE XLA program, `lax.while_loop` over
+    layers with the confidence predicate in the carry (reference
+    check_if_stop, lightglue.py:627-638; exit-layer assignment head
+    :560-563 like the host-staged runner above).
+
+    Trade-off vs AdaptiveLightGlue: no host round-trips at all (the
+    host-staged runner pays one scalar-fetch RTT per executed layer —
+    ~25-30 ms each over a tunneled backend), but the while_loop carries
+    full-size descriptors and XLA cannot overlap across iterations; all
+    n layer branches + n finalize branches are compiled into the one
+    program (compile cost ~2x static). Use this on RTT-bound
+    deployments; use AdaptiveLightGlue where the device is local and
+    dispatch is cheap; use the static forward when n_layers is already
+    small (see docs/KERNELS.md 'adaptive depth boundary').
+
+    Jittable; returns the finalize() dict + "exit_layer" (0-based,
+    traced int32).
+    """
+    import jax.numpy as jnp
+
+    v = {"params": params}
+    cfg = model.cfg
+    n = cfg.n_layers
+    if n < 2:
+        pred = dict(model.apply(v, 0, *model.apply(v, data, method="embed")[:2],
+                                data.get("mask0"), data.get("mask1"),
+                                method="finalize"))
+        pred["exit_layer"] = jnp.int32(0)
+        return pred
+    desc0, desc1, enc0, enc1 = model.apply(v, data, method="embed")
+    mask0, mask1 = data.get("mask0"), data.get("mask1")
+
+    def layer_fn(i):
+        return lambda d0, d1: model.apply(v, i, d0, d1, enc0, enc1,
+                                          mask0, mask1, method="run_layer")
+
+    def ratio_fn(i):
+        return lambda d0, d1: model.apply(v, i, d0, d1,
+                                          method="stop_ratio")
+
+    def final_fn(i):
+        return lambda d0, d1: model.apply(v, i, d0, d1, mask0, mask1,
+                                          method="finalize")
+
+    layer_fns = [layer_fn(i) for i in range(n)]
+    ratio_fns = [ratio_fn(i) for i in range(n - 1)]
+    final_fns = [final_fn(i) for i in range(n)]
+
+    def cond(c):
+        i, _, _, done = c
+        return jnp.logical_and(i < n, jnp.logical_not(done))
+
+    def body(c):
+        i, d0, d1, _ = c
+        d0, d1 = jax.lax.switch(i, layer_fns, d0, d1)
+        # no confidence head after the last layer: clamp the switch index
+        # and force done there
+        ratio = jax.lax.switch(jnp.minimum(i, n - 2), ratio_fns, d0, d1)
+        done = jnp.where(i < n - 1, ratio > depth_confidence, True)
+        return (i + jnp.int32(1), d0, d1, done)
+
+    i, d0, d1, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), desc0, desc1, jnp.asarray(False)))
+    exit_layer = i - 1
+    pred = dict(jax.lax.switch(exit_layer, final_fns, d0, d1))
+    pred["exit_layer"] = exit_layer
+    return pred

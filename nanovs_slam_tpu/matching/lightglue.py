@@ -437,16 +437,19 @@ def inference_forward(model: "LightGlue", params,
     pruning engages automatically whenever `width_confidence` is
     configured (lightglue.py:564-594,613-624) — this is the analog seam
     for consumers that hold a (model, params) pair (the VO loop, eval
-    CLIs). cfg.width_confidence > 0 dispatches to the static-bucket
-    width-pruned single-program path (matching/width_pruning.py);
-    otherwise the plain full-depth forward. Host-staged adaptive DEPTH
+    CLIs). cfg.width_confidence > 0 dispatches to
+    width_pruning.engaged_width_forward: one keep-count probe fetch
+    selects the static-bucket schedule floor, so fully-matchable pairs
+    run the plain program (the reference's automatic no-op, :613-624)
+    and junk-heavy pairs keep the compaction speedup. Host-staged
+    adaptive DEPTH
     (cfg.depth_confidence) requires a host-read scalar per layer and
     stays an explicit opt-in (matching/adaptive.py)."""
     if model.cfg.width_confidence > 0:
-        from .width_pruning import width_pruned_forward
+        from .width_pruning import engaged_width_forward
 
-        return width_pruned_forward(model, params, data,
-                                    model.cfg.width_confidence)
+        return engaged_width_forward(model, params, data,
+                                     model.cfg.width_confidence)
     return model.apply({"params": params}, data)
 
 

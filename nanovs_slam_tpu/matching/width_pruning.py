@@ -66,30 +66,39 @@ def _take_points(t: Array, sel: Array) -> Array:
 
 
 def prune_schedule(n: int, n_layers: int, min_bucket: int = 128,
-                   n_prunes: Optional[int] = None):
+                   n_prunes: Optional[int] = None,
+                   floor: Optional[int] = None):
     """Bucket size after each non-final layer (len n_layers-1).
 
     Halve after each of the first `n_prunes` layers, floored at
-    min_bucket; None = halve as long as the floor allows. The reference
-    prunes a data-dependent amount at EVERY layer (:564-567); a fixed
-    halving schedule is the static-shape analog."""
+    max(min_bucket, floor); None = halve as long as the floor allows.
+    The reference prunes a data-dependent amount at EVERY layer
+    (:564-567); a fixed halving schedule is the static-shape analog.
+    `floor` is how engaged_width_forward injects the measured keep
+    count: the schedule never compacts below the points the reference's
+    keep rule would retain, so a fully-matchable pair (floor >= n)
+    yields the identity schedule — no compaction at any layer, exactly
+    the reference's automatic no-op (:613-624)."""
+    eff_min = max(min_bucket, floor or 0)
     buckets = []
     cur = n
     prunes = 0
     for i in range(n_layers - 1):
         nxt = cur // 2
-        if nxt >= min_bucket and (n_prunes is None or prunes < n_prunes):
+        if nxt >= eff_min and (n_prunes is None or prunes < n_prunes):
             cur = nxt
             prunes += 1
         buckets.append(cur)
     return buckets
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
 def width_pruned_forward(model: LightGlue, params, data: Dict[str, Array],
                          width_confidence: float = 0.99,
                          rngs=None, min_bucket: int = 128,
-                         n_prunes: Optional[int] = None) -> Dict[str, Array]:
+                         n_prunes: Optional[int] = None,
+                         floor0: Optional[int] = None,
+                         floor1: Optional[int] = None) -> Dict[str, Array]:
     """LightGlue inference with static-bucket width pruning.
 
     data: as for LightGlue.__call__ (normalized keypoints0/1,
@@ -130,8 +139,8 @@ def width_pruned_forward(model: LightGlue, params, data: Dict[str, Array],
     prune0 = jnp.full((B, M), n_layers, jnp.int32)
     prune1 = jnp.full((B, N), n_layers, jnp.int32)
 
-    sched0 = prune_schedule(M, n_layers, min_bucket, n_prunes)
-    sched1 = prune_schedule(N, n_layers, min_bucket, n_prunes)
+    sched0 = prune_schedule(M, n_layers, min_bucket, n_prunes, floor0)
+    sched1 = prune_schedule(N, n_layers, min_bucket, n_prunes, floor1)
 
     def compact(i, desc, enc, mask, ind, conf, bucket):
         """One side's prune at layer i: rank, top-k, gather."""
@@ -188,10 +197,14 @@ def width_pruned_forward(model: LightGlue, params, data: Dict[str, Array],
 
     pred_c = model.apply(v, n_layers - 1, desc0, desc1, mask0, mask1,
                          method="finalize")
+    return _scatter_back(pred_c, ind0, ind1, prune0, prune1, B, M, N)
+
+
+def _scatter_back(pred_c, ind0, ind1, prune0, prune1, B, M, N):
+    """Map compacted-space matches back to the original (B, M)/(B, N)
+    index space (reference :585-594)."""
     m0c, m1c = pred_c["matches0"], pred_c["matches1"]
     ms0c, ms1c = pred_c["matching_scores0"], pred_c["matching_scores1"]
-
-    # scatter back to the original index space (reference :585-594)
     brow = jnp.arange(B)[:, None]
     m0_orig = jnp.where(m0c >= 0,
                         jnp.take_along_axis(ind1, jnp.maximum(m0c, 0),
@@ -206,3 +219,89 @@ def width_pruned_forward(model: LightGlue, params, data: Dict[str, Array],
     return {"matches0": m0, "matches1": m1,
             "matching_scores0": ms0, "matching_scores1": ms1,
             "prune0": prune0, "prune1": prune1}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _keep_count_probe(model: LightGlue, params, data: Dict[str, Array],
+                      width_confidence: float):
+    """Max-over-batch keep counts after layer 0 for both sides — the
+    reference's keep rule (:619-624) evaluated once where the first
+    prune would happen. One small program, one host fetch."""
+    v = {"params": params}
+    cfg = model.cfg
+    desc0, desc1, enc0, enc1 = model.apply(v, data, method="embed")
+    B, M = desc0.shape[:2]
+    N = desc1.shape[1]
+    mask0 = data.get("mask0", jnp.ones((B, M), bool))
+    mask1 = data.get("mask1", jnp.ones((B, N), bool))
+    d0, d1 = model.apply(v, 0, desc0, desc1, enc0, enc1, mask0, mask1,
+                         method="run_layer")
+    if f"token_confidence_{0}" in params:
+        conf0, conf1 = model.apply(v, 0, d0, d1,
+                                   method="token_confidence")
+    else:
+        conf0 = conf1 = None
+
+    def count(desc, mask, conf):
+        s = model.apply(v, 0, desc, method="matchability")
+        keep = s > 1.0 - width_confidence
+        if conf is not None:
+            keep = keep | (conf <= confidence_threshold(0, cfg.n_layers))
+        return (keep & mask).sum(axis=1).max()
+
+    return count(d0, mask0, conf0), count(d1, mask1, conf1)
+
+
+def _pow2_at_least(k: int, min_bucket: int) -> int:
+    b = max(min_bucket, 1)
+    while b < k:
+        b *= 2
+    return b
+
+
+def engaged_width_forward(model: LightGlue, params, data: Dict[str, Array],
+                          width_confidence: float = 0.99,
+                          min_bucket: int = 128,
+                          n_prunes: Optional[int] = None
+                          ) -> Dict[str, Array]:
+    """Width pruning with the reference's AUTOMATIC engagement semantics
+    (lightglue.py:613-624): the reference prunes only the points its
+    keep rule rejects, so on fully-matchable scenes it no-ops by
+    construction. The static bucket alone cannot do that — it FORCES a
+    fixed compaction fraction, measured to destroy recall exactly where
+    the reference would have pruned nothing
+    (artifacts/width_pruning_quality_r4.json: held-out recall
+    0.493 -> 0.163, corridor VO 0.0441 -> 0.1270).
+
+    This wrapper restores the automatic behavior with ONE host-read
+    scalar pair (the same staging trick as matching/adaptive.py): probe
+    the keep counts where the first prune would happen, round up to the
+    next power of two >= min_bucket, and pass that as the schedule
+    FLOOR — the compiled program never compacts below what the keep
+    rule retains. Fully-matchable pairs select the identity schedule
+    (bit-equal to the plain forward); junk-heavy pairs keep the full
+    halving schedule and its measured speedup (1.46x at K=1024
+    on-chip). The bucket menu is the power-of-two ladder between
+    min_bucket and N, so at most log2(N/min_bucket)+1 programs compile
+    per side.
+
+    Cost of engagement: embed + layer 0 run twice (~1/n_layers extra
+    compute) + one scalar-fetch round trip (~25-30 ms on a tunneled
+    backend; see docs/KERNELS.md for when that pays).
+    """
+    k0, k1 = _keep_count_probe(model, params, data, width_confidence)
+    M = data["descriptors0"].shape[1]
+    N = data["descriptors1"].shape[1]
+    f0 = _pow2_at_least(int(k0), min_bucket)
+    f1 = _pow2_at_least(int(k1), min_bucket)
+    if f0 >= M and f1 >= N:
+        # nothing prunable anywhere: the reference would keep every
+        # point at every layer — run the plain static program
+        pred = dict(model.apply({"params": params}, data))
+        B = data["descriptors0"].shape[0]
+        pred["prune0"] = jnp.full((B, M), model.cfg.n_layers, jnp.int32)
+        pred["prune1"] = jnp.full((B, N), model.cfg.n_layers, jnp.int32)
+        return pred
+    return width_pruned_forward(model, params, data, width_confidence,
+                                None, min_bucket, n_prunes,
+                                min(f0, M), min(f1, N))

@@ -52,7 +52,13 @@ int main(int argc, char **argv) {
 
     int n = nvsb_n_outputs(bd);
     int oh[8], ow[8], oc[8];
-    nvsb_run(bd, img, H, W, NULL, oh, ow, oc); /* metadata pass */
+    int mrc = nvsb_run(bd, img, H, W, NULL, oh, ow, oc); /* metadata */
+    if (mrc != 0) {
+        fprintf(stderr, "metadata pass rc=%d (input %dx%d not divisible "
+                "by the downsample cell, or concat mismatch)\n",
+                mrc, H, W);
+        return 1;
+    }
     float *bufs[8];
     for (int i = 0; i < n; i++)
         bufs[i] = (float *)malloc(sizeof(float) * (size_t)oh[i] * ow[i]

@@ -216,17 +216,53 @@ static int parse_manifest(FILE *f, Bundle *bd) {
         else if (sscanf(line, "tanh %d %d %d", &op->in0, &op->out,
                         &op->cin) == 3) op->kind = 7;
         else if (strncmp(line, "out ", 4) == 0) {
+            if (bd->n_outputs >= MAX_OUTPUTS) return -1;
             OutputSpec *o = &bd->outputs[bd->n_outputs];
-            if (sscanf(line, "out %31s %d", o->name, &o->tid) == 2)
+            if (sscanf(line, "out %31s %d", o->name, &o->tid) == 2) {
+                if (o->tid < 0 || o->tid >= MAX_TENSORS) return -1;
                 bd->n_outputs++;
+            }
             continue;
         } else continue;  /* comment / blank */
+        /* tensor ids index the fixed ts[] array in nvsb_run — a corrupt
+         * manifest must fail to LOAD, not write out of bounds */
+        if (op->in0 < 0 || op->in0 >= MAX_TENSORS ||
+            op->out < 0 || op->out >= MAX_TENSORS ||
+            (op->kind == 5 && (op->in1 < 0 || op->in1 >= MAX_TENSORS)))
+            return -1;
+        if (op->cin < 0 || op->cout < 0 || op->cin > 65536 ||
+            op->cout > 65536)
+            return -1;
         op->off_w = w; op->off_s = s; op->off_a = aa; op->off_b = b;
         if (bd->n_ops + 1 >= MAX_OPS) return -1;
         bd->n_ops++;
     }
     return -1; /* no DATA section */
 }
+
+/* Reject blob references outside the DATA section (truncated/corrupt
+ * bundle => load error instead of an out-of-bounds read at run time). */
+static int validate_blobs(const Bundle *bd) {
+    for (int k = 0; k < bd->n_ops; k++) {
+        const Op *op = &bd->ops[k];
+        int64_t wsz = 0, par = 4LL * op->cout; /* per-channel f32 vecs */
+        switch (op->kind) {
+        case 0: wsz = 9LL * op->cin * op->cout; break;      /* int8 */
+        case 1: case 2: case 4:
+            wsz = 4LL * 9 * op->cin * op->cout; break;      /* f32 */
+        default: continue;                                  /* no blobs */
+        }
+        if (op->off_w < 0 || op->off_w + wsz > bd->data_len) return -1;
+        if (op->kind == 0 &&
+            (op->off_s < 0 || op->off_s + par > bd->data_len)) return -1;
+        if (op->kind != 2 &&
+            (op->off_a < 0 || op->off_a + par > bd->data_len)) return -1;
+        if (op->off_b < 0 || op->off_b + par > bd->data_len) return -1;
+    }
+    return 0;
+}
+
+void nvsb_free(Bundle *bd);
 
 Bundle *nvsb_load(const char *path) {
     FILE *f = fopen(path, "rb");
@@ -246,6 +282,7 @@ Bundle *nvsb_load(const char *path) {
         free(bd->data); free(bd); fclose(f); return NULL;
     }
     fclose(f);
+    if (validate_blobs(bd) != 0) { nvsb_free(bd); return NULL; }
     return bd;
 }
 
@@ -269,16 +306,26 @@ int nvsb_run(Bundle *bd, const float *image, int H, int W,
     Tensor ts[MAX_TENSORS];
     memset(ts, 0, sizeof ts);
     ts[0].h = H; ts[0].w = W; ts[0].c = bd->in_channels;
-    /* shape inference pass */
+    /* shape inference pass. Odd-at-pool input sizes make the tconv
+     * output (2*floor) and the skip tensor diverge; the concat check
+     * below turns that into a load-time rc instead of a silent
+     * misaligned read (the numpy/JAX paths raise loudly in the same
+     * case). */
     for (int k = 0; k < bd->n_ops; k++) {
         Op *op = &bd->ops[k];
         Tensor *x = &ts[op->in0], *y = &ts[op->out];
         switch (op->kind) {
         case 0: case 1: case 2:
             y->h = x->h; y->w = x->w; y->c = op->cout; break;
-        case 3: y->h = x->h / 2; y->w = x->w / 2; y->c = x->c; break;
+        case 3:
+            if ((x->h & 1) || (x->w & 1)) return -2;
+            y->h = x->h / 2; y->w = x->w / 2; y->c = x->c; break;
         case 4: y->h = 2 * x->h; y->w = 2 * x->w; y->c = op->cout; break;
-        case 5: y->h = x->h; y->w = x->w; y->c = op->cin + op->cin1; break;
+        case 5: {
+            Tensor *x1 = &ts[op->in1];
+            if (x->h != x1->h || x->w != x1->w) return -2;
+            y->h = x->h; y->w = x->w; y->c = op->cin + op->cin1; break;
+        }
         default: y->h = x->h; y->w = x->w; y->c = x->c; break;
         }
     }

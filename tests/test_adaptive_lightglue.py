@@ -86,6 +86,42 @@ def test_early_exit_triggers_and_saves_layers():
     assert pred["matches0"].shape == (1, 64)
 
 
+def test_early_exit_forward_full_depth_equals_static():
+    """In-graph while_loop variant, never-stop confidence: must equal the
+    monolithic static forward (same layers, last assigner)."""
+    from nanovs_slam_tpu.matching.adaptive import early_exit_forward
+
+    model, params, data = _make()
+    pred_full = model.apply({"params": params}, data)
+    run = jax.jit(lambda d: early_exit_forward(model, params, d, 2.0))
+    pred = run(data)
+    assert int(pred["exit_layer"]) == model.cfg.n_layers - 1
+    np.testing.assert_array_equal(np.asarray(pred_full["matches0"]),
+                                  np.asarray(pred["matches0"]))
+    np.testing.assert_allclose(np.asarray(pred_full["log_assignment"]),
+                               np.asarray(pred["log_assignment"]),
+                               atol=5e-4)
+
+
+def test_early_exit_forward_matches_host_staged():
+    """In-graph and host-staged runners share the ratio computation and
+    exit-layer head: same exit layer, same assignment."""
+    from nanovs_slam_tpu.matching.adaptive import early_exit_forward
+
+    model, params, data = _make(seed=3)
+    for conf in (0.0, 0.5):
+        alg = AdaptiveLightGlue(model, params, depth_confidence=conf)
+        pred_host = alg(data)
+        pred_graph = jax.jit(
+            lambda d, c=conf: early_exit_forward(model, params, d, c))(data)
+        assert int(pred_graph["exit_layer"]) == pred_host["exit_layer"], conf
+        np.testing.assert_allclose(
+            np.asarray(pred_host["log_assignment"]),
+            np.asarray(pred_graph["log_assignment"]), atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(pred_host["matches0"]),
+                                      np.asarray(pred_graph["matches0"]))
+
+
 def test_adaptive_batch_and_masks():
     model, params, data = _make(N=48)
     # invalidate half the keypoints; matches for invalid slots must be -1

@@ -27,6 +27,29 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
 
 
+def test_npz_pinned_checkpoint_roundtrip(tmp_path):
+    """Pinned .npz checkpoints (tools/pin_checkpoint.py; VERDICT r4 #3):
+    save_npz_checkpoint -> load_checkpoint must be exact, dispatch on
+    the .npz file path, and preserve meta."""
+    from nanovs_slam_tpu.utils.checkpoint import save_npz_checkpoint
+
+    cfg = get_config("N", n_classes=7)
+    model = build_model(cfg)
+    params, bs = init_model(model, jax.random.PRNGKey(1), (1, 48, 64, 3))
+    path = save_npz_checkpoint(str(tmp_path / "pin"),
+                               {"params": params, "batch_stats": bs},
+                               meta={"epoch": 9, "config": {"name": "N"}})
+    assert path.endswith(".npz")
+    tree, meta = load_checkpoint(path)
+    assert meta["epoch"] == 9 and meta["config"]["name"] == "N"
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(tree["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert set(tree) == {"params", "batch_stats"}
+
+
 def test_filter_and_merge_partial_restore():
     cfg = get_config("N", n_classes=7)
     model = build_model(cfg)

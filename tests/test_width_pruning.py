@@ -136,6 +136,71 @@ def test_survivors_are_top_matchability():
     assert survivors == expected
 
 
+def test_engaged_noop_on_fully_matchable():
+    """VERDICT r4 next #4: with width_confidence enabled globally, a
+    fully-matchable pair must behave exactly like the unpruned forward —
+    the reference's keep rule retains everything, so its pruning no-ops
+    automatically (lightglue.py:613-624). engaged_width_forward probes
+    the keep count and must select the plain program."""
+    from nanovs_slam_tpu.matching.width_pruning import engaged_width_forward
+
+    cfg = LightGlueConfig(input_dim=32, descriptor_dim=32, n_layers=3,
+                          num_heads=4)
+    model = LightGlue(cfg)
+    data = _matchable_pair(256, 256, n_common=64, seed=11)
+    params = model.init(jax.random.PRNGKey(0), data, train=True)["params"]
+
+    # width_confidence=1.0 keep-flags every point (matchability > 0)
+    out = engaged_width_forward(model, params, data,
+                                width_confidence=1.0, min_bucket=128)
+    ref = model.apply({"params": params}, data)
+    np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                  np.asarray(ref["matches0"]))
+    np.testing.assert_array_equal(
+        np.asarray(out["matching_scores0"]),
+        np.asarray(ref["matching_scores0"]))
+    # the plain program ran: nothing reports as pruned
+    assert np.all(np.asarray(out["prune0"]) == cfg.n_layers)
+    assert np.all(np.asarray(out["prune1"]) == cfg.n_layers)
+
+
+def test_engaged_prunes_junk_heavy():
+    """When the keep rule rejects (almost) everything, engagement must
+    keep the full halving schedule (floor = min_bucket) — identical to
+    the static-bucket program, preserving the measured junk-heavy
+    speedup."""
+    import copy
+
+    from nanovs_slam_tpu.matching.width_pruning import engaged_width_forward
+
+    cfg = LightGlueConfig(input_dim=32, descriptor_dim=32, n_layers=3,
+                          num_heads=4)
+    model = LightGlue(cfg)
+    data = _matchable_pair(256, 256, n_common=16, seed=13)
+    params = model.init(jax.random.PRNGKey(3), data, train=True)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+    params = copy.deepcopy(params)
+    for i in range(cfg.n_layers - 1):
+        # matchability ~ sigmoid(-20) ~ 0 -> keep rule fails;
+        # token confidence ~ sigmoid(+20) ~ 1 > threshold -> the
+        # low-confidence protection doesn't fire either
+        params[f"log_assignment_{i}"]["matchability"]["bias"] = \
+            params[f"log_assignment_{i}"]["matchability"]["bias"] - 20.0
+        params[f"token_confidence_{i}"]["token"]["bias"] = \
+            params[f"token_confidence_{i}"]["token"]["bias"] + 20.0
+
+    out = engaged_width_forward(model, params, data,
+                                width_confidence=0.99, min_bucket=64)
+    ref = width_pruned_forward(model, params, data, 0.99, None, 64,
+                               None, 64, 64)
+    np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                  np.asarray(ref["matches0"]))
+    np.testing.assert_array_equal(np.asarray(out["prune0"]),
+                                  np.asarray(ref["prune0"]))
+    # pruning actually engaged (256 -> 128 -> 64 buckets)
+    assert (np.asarray(out["prune0"])[0] < cfg.n_layers).sum() >= 128
+
+
 def test_inference_forward_dispatch():
     """inference_forward honors cfg.width_confidence — the reference's
     automatic-engagement semantics (lightglue.py:613-624): >0 runs the

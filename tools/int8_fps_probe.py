@@ -76,6 +76,7 @@ def main():
               f"(rtt {rtt * 1e3:.1f} ms)", flush=True)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "int8_fps_probe.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
     print(json.dumps(rows))

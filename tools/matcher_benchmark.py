@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--lg-width-prunes", type=int, default=None,
                     help="bound the number of halvings (None = halve at "
                          "every early layer to the floor)")
+    ap.add_argument("--lg-width-engaged", action="store_true",
+                    help="use engaged_width_forward (keep-count probe "
+                         "selects the schedule floor per pair — the "
+                         "reference's automatic engagement) instead of "
+                         "forcing the static bucket")
     ap.add_argument("--out", default=None,
                     help="output JSON path (default "
                          "artifacts/matcher_benchmark.json)")
@@ -147,13 +152,19 @@ def main():
 
     wp_match = None
     if args.lg_width > 0:
-        from nanovs_slam_tpu.matching.width_pruning import \
-            width_pruned_forward
+        from nanovs_slam_tpu.matching.width_pruning import (
+            engaged_width_forward, width_pruned_forward)
 
-        def wp_match(data):
-            return width_pruned_forward(matcher, lg_params, data,
-                                        args.lg_width,
-                                        n_prunes=args.lg_width_prunes)
+        if args.lg_width_engaged:
+            def wp_match(data):
+                return engaged_width_forward(matcher, lg_params, data,
+                                             args.lg_width,
+                                             n_prunes=args.lg_width_prunes)
+        else:
+            def wp_match(data):
+                return width_pruned_forward(matcher, lg_params, data,
+                                            args.lg_width,
+                                            n_prunes=args.lg_width_prunes)
 
     dense_matcher = None
     if args.dense:
