@@ -26,7 +26,7 @@ EOF
 echo "== [2/4] extractor (S/8, ${EPOCHS} epochs, seed ${SEED})"
 python train_multitask.py --dataset_name synthetic --config S \
   --batch_size 16 --n_epochs "${EPOCHS}" --bf16 --device_cache \
-  --scan_epoch --no_eval --seed "${SEED}" \
+  --scan_epoch --no_eval --seed "${SEED}" --log_every 200 \
   --out_model_path model_ckpt/r5_long
 
 echo "== [3/4] LightGlue (${STEPS_LG} steps on the extractor's own descriptors)"

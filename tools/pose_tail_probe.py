@@ -47,7 +47,11 @@ def build_cache(im_h=128, im_w=512, max_frames=30):
     kitti = os.path.join(_REPO, "fixtures", "kitti_corridor_gray")
     cfg = get_config("S", n_classes=8)
     model = build_model(cfg)
-    tree, _ = load_checkpoint(os.path.join(_REPO, "model_ckpt", "r3_long"))
+    candidates = [os.path.join(_REPO, "model_ckpt", "r5_long"),
+                  os.path.join(_REPO, "pinned", "extractor_S8.npz"),
+                  os.path.join(_REPO, "model_ckpt", "r3_long")]
+    ckpt = next(p for p in candidates if os.path.exists(p))
+    tree, _ = load_checkpoint(ckpt)
     variables = {"params": tree["params"],
                  "batch_stats": tree["batch_stats"]}
     fe = KP2DTinyFrontend(model, cfg, variables, (im_h, im_w),
