@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_model_path", default="lightglue_ckpt")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--save_every", type=int, default=1000,
+                   help="periodic checkpoint cadence in steps (0 = only "
+                        "at the end); each save fetches the params")
     return p.parse_args()
 
 
@@ -73,7 +76,8 @@ def main():
     params, bs = init_model(ex_model, jax.random.PRNGKey(args.seed),
                             (1, H, W, 3))
     if args.extractor_path:
-        if os.path.isdir(args.extractor_path):
+        if os.path.isdir(args.extractor_path) or \
+                args.extractor_path.endswith(".npz"):
             from nanovs_slam_tpu.utils.checkpoint import load_checkpoint
 
             tree, _ = load_checkpoint(args.extractor_path)
@@ -194,7 +198,13 @@ def main():
                                 pred["matching_scores0"])
             print(f"step {step}: nll {float(loss):.4f} "
                   f"recall {float(m['match_recall'].mean()):.3f} "
-                  f"precision {float(m['match_precision'].mean()):.3f}")
+                  f"precision {float(m['match_precision'].mean()):.3f}",
+                  flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            # periodic overwrite: a tunnel hang mid-run (observed) must
+            # not cost the whole run
+            save_checkpoint(args.out_model_path, {"params": lg_params},
+                            config=vars(args))
 
     save_checkpoint(args.out_model_path, {"params": lg_params},
                     config=vars(args))
