@@ -166,6 +166,31 @@ def main():
     _emit(match_only_static_p50_ms=round(
         timer2.stats()["static"]["p50_ms"], 3), **adaptive_stats)
 
+    # fully IN-GRAPH early exit (matching/adaptive.early_exit_forward):
+    # one XLA program, lax.while_loop over layers — no per-layer host
+    # RTT, measured as pure device time (VERDICT r4 next #5)
+    from nanovs_slam_tpu.matching.adaptive import early_exit_forward
+
+    ig_stats = {}
+    for conf, tag in ((0.95, "inpgraph_adaptive_conf0.95_ms"),
+                      (0.0, "inpgraph_adaptive_conf0.0_ms")):
+        @jax.jit
+        def ig_match(d0, _conf=conf):
+            data = dict(lg_data, descriptors0=d0)
+            pred = early_exit_forward(matcher, lg_params, data, _conf)
+            return (pred["matches0"].sum() + pred["exit_layer"]
+                    ).astype(jnp.float32)
+
+        per_ig, _ = chained_device_time(ig_match, lg_data["descriptors0"],
+                                        n_lo, n_hi)
+        exit_layer = int(jax.jit(
+            lambda d0, _c=conf: early_exit_forward(
+                matcher, lg_params, dict(lg_data, descriptors0=d0),
+                _c)["exit_layer"])(lg_data["descriptors0"]))
+        ig_stats[tag] = {"device_ms": round(per_ig * 1e3, 3),
+                         "exit_layer": exit_layer}
+    _emit(**ig_stats)
+
     # adaptive WIDTH pruning (static bucket compaction,
     # matching/width_pruning.py; reference lightglue.py:564-594):
     # match-only latency pruned vs unpruned at K=512 / K=1024

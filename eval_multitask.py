@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--device_pose", action="store_true",
                    help="on-device LO-RANSAC pose instead of the host "
                         "cv2 tail (pose.ransac_essential_device)")
+    p.add_argument("--lg_threshold", type=float, default=0.0,
+                   help="LightGlue VO match filter threshold (reference "
+                        "inference default 0.0, lightglue.py:430)")
     p.add_argument("--lg_width", type=float, default=-1.0,
                    help="LightGlue adaptive width pruning confidence "
                         "(<=0 disables; see vo_eval --lg_width)")
@@ -353,7 +356,8 @@ def main():
                                    if args.vo_matcher == "lightglue"
                                    else None),
                         device_pose=args.device_pose,
-                        lg_width=args.lg_width)
+                        lg_width=args.lg_width,
+                        lg_threshold=args.lg_threshold)
                     results[f"vo_{vo_h}x{vo_w}"] = r
                     print(f"VO {vo_h}x{vo_w}: {r['total']}")
                 except Exception as e:

@@ -390,7 +390,7 @@ class VisualOdometry:
 
 
 def load_lightglue_for_vo(lg_ckpt: str, nfeatures: int, frame_size,
-                          max_n: int = 1024, threshold: float = 0.1,
+                          max_n: int = 1024, threshold: float = 0.0,
                           width_confidence: float = -1.0):
     """Build the (model, params, size, max_n) tuple VisualOdometry's
     lightglue mode consumes, from a train_lightglue.py checkpoint.
@@ -446,6 +446,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
                              device_pose: bool = False,
                              dense_rel_conf: float = 0.1,
                              lg_width: float = -1.0,
+                             lg_threshold: float = 0.0,
                              pose_hypotheses: int = 8192,
                              pose_restarts: int = 3,
                              transfer_u8: Optional[bool] = None) -> Dict:
@@ -525,6 +526,7 @@ def evaluate_visual_odometry(frontend, kitti_path: str, gt_name: str,
         max_n = max(int(getattr(frontend, "top_k", 0) or 0), 1024)
         lightglue = load_lightglue_for_vo(lightglue, nfeat,
                                           (size[1], size[0]), max_n=max_n,
+                                          threshold=lg_threshold,
                                           width_confidence=lg_width)
     vo = VisualOdometry(ScaledFrontend(), cam, matcher=matcher,
                         dense=ScaledDense(dense) if dense is not None

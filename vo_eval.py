@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument("--lg_ckpt", default=None,
                    help="trained LightGlue checkpoint for --matcher "
                         "lightglue (train_lightglue.py output)")
+    p.add_argument("--lg_threshold", type=float, default=0.0,
+                   help="LightGlue match filter threshold (reference "
+                        "inference default 0.0, lightglue.py:430; the "
+                        "glue-factory TRAINING yamls use 0.1 for val "
+                        "metrics only — 0.1 here was measured to double "
+                        "corridor VO error, artifacts/lg_vo_sweep.json)")
     p.add_argument("--lg_width", type=float, default=-1.0,
                    help="LightGlue adaptive width pruning confidence "
                         "(reference width_confidence, e.g. 0.99; <=0 "
@@ -130,7 +136,8 @@ def main():
             fh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             cap.release()
             lightglue = load_lightglue_for_vo(
-                args.lg_ckpt, cfg.nfeatures, (fw, fh))[:2]
+                args.lg_ckpt, cfg.nfeatures, (fw, fh),
+                threshold=args.lg_threshold)[:2]
         results = evaluate_visual_odometry_offline(
             model, cfg, {"params": params, "batch_stats": batch_stats},
             args.kitti_path, args.gt_name, args.video_name, (H, W),
@@ -172,7 +179,8 @@ def main():
         matcher=args.matcher, dense=dense,
         lightglue=args.lg_ckpt if args.matcher == "lightglue" else None,
         device_pose=args.device_pose, dense_rel_conf=args.dense_rel_conf,
-        lg_width=args.lg_width, pose_hypotheses=args.pose_hypotheses,
+        lg_width=args.lg_width, lg_threshold=args.lg_threshold,
+        pose_hypotheses=args.pose_hypotheses,
         pose_restarts=args.pose_restarts)
     print(json.dumps(results, indent=2, default=str))
     with open(args.out, "w") as f:
