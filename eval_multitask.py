@@ -307,6 +307,13 @@ def main():
 
         root = paths.get("pittsburgh_data_path")
         struct = os.path.join(root or "", "datasets", "pitts30k_val.mat")
+        if root and not os.path.exists(struct):
+            # synthetic fixture (scripts/make_synthetic_pittsburgh.py)
+            # ships only the train split
+            alt = os.path.join(root, "datasets", "pitts30k_train.mat")
+            if os.path.exists(alt):
+                print(f"pitts30k_val.mat missing; using {alt}")
+                struct = alt
         if root and os.path.exists(struct):
             try:
                 import jax.numpy as jnp
