@@ -110,7 +110,8 @@ def main():
     params, batch_stats = init_model(model, jax.random.PRNGKey(args.seed),
                                      (1, H, W, 3))
     if args.model_path:
-        if os.path.isdir(args.model_path):
+        if os.path.isdir(args.model_path) or \
+                args.model_path.endswith(".npz"):
             tree, _ = load_checkpoint(args.model_path)
             params, batch_stats = tree["params"], tree["batch_stats"]
         else:
