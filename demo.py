@@ -56,7 +56,8 @@ def main():
     params, batch_stats = init_model(model, jax.random.PRNGKey(0),
                                      (1, H, W, 3))
     if args.model_path:
-        if os.path.isdir(args.model_path):
+        if os.path.isdir(args.model_path) or \
+                args.model_path.endswith(".npz"):
             from nanovs_slam_tpu.utils.checkpoint import load_checkpoint
 
             tree, _ = load_checkpoint(args.model_path)
