@@ -249,7 +249,8 @@ def _keep_count_probe(model: LightGlue, params, data: Dict[str, Array],
             keep = keep | (conf <= confidence_threshold(0, cfg.n_layers))
         return (keep & mask).sum(axis=1).max()
 
-    return count(d0, mask0, conf0), count(d1, mask1, conf1)
+    # stacked so the caller fetches BOTH counts in one host round trip
+    return jnp.stack([count(d0, mask0, conf0), count(d1, mask1, conf1)])
 
 
 def _pow2_at_least(k: int, min_bucket: int) -> int:
@@ -289,11 +290,14 @@ def engaged_width_forward(model: LightGlue, params, data: Dict[str, Array],
     compute) + one scalar-fetch round trip (~25-30 ms on a tunneled
     backend; see docs/KERNELS.md for when that pays).
     """
-    k0, k1 = _keep_count_probe(model, params, data, width_confidence)
+    import numpy as np
+
+    counts = np.asarray(_keep_count_probe(model, params, data,
+                                          width_confidence))
     M = data["descriptors0"].shape[1]
     N = data["descriptors1"].shape[1]
-    f0 = _pow2_at_least(int(k0), min_bucket)
-    f1 = _pow2_at_least(int(k1), min_bucket)
+    f0 = _pow2_at_least(int(counts[0]), min_bucket)
+    f1 = _pow2_at_least(int(counts[1]), min_bucket)
     if f0 >= M and f1 >= N:
         # nothing prunable anywhere: the reference would keep every
         # point at every layer — run the plain static program
